@@ -1,0 +1,483 @@
+"""Optical component factories and ray sources.
+
+Parity with pyrayt/components.py:13-662: the same CSG recipes (thick_lens,
+mirrors, prism, baffle/aperture) and the same Source hierarchy, built on
+the TPU scene-builder objects.  All geometry math is jnp so factories can
+be called with traced parameters inside ``jax.grad`` (differentiable lens
+design) — wrap rebuilds in ``pyrayt_tpu.scene.fresh_ids()``.
+
+Reference quirks deliberately fixed (documented deviations):
+
+* ``biconvex_lens`` positioned its left sphere with the wrong radius when
+  r1 != r2 (quirk Q2, components.py:185-186) — fixed here; ``thick_lens``
+  remains the general path.
+* ``_create_aperture``'s elliptical branch fell through returning None
+  (quirk Q3, components.py:43-50) — fixed to return the scaled cylinder.
+"""
+
+from __future__ import annotations
+
+import abc
+from functools import lru_cache, wraps
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pyrayt_tpu.materials as matl
+from pyrayt_tpu.scene import csg
+from pyrayt_tpu.scene.objects import WorldObject
+from pyrayt_tpu.scene.surfaces import Cuboid, Cylinder, Paraboloid, Sphere, XYPlane
+from pyrayt_tpu.tracer.rayset import RaySet
+
+__all__ = [
+    "thick_lens",
+    "biconvex_lens",
+    "plano_convex_lens",
+    "plane_mirror",
+    "spherical_mirror",
+    "parabolic_mirror",
+    "equilateral_prism",
+    "baffle",
+    "aperture",
+    "Source",
+    "LineOfRays",
+    "CircleOfRays",
+    "ConeOfRays",
+    "WedgeOfRays",
+    "Lamp",
+    "StaticLamp",
+]
+
+
+def _lens(func):
+    """Inject common lens kwargs and orient the optical axis to +X
+    (parity: components.py:13-28)."""
+
+    @wraps(func)
+    def wrapper_function(*args, **kwargs):
+        lens_arguments = {"aperture": 1, "material": matl.glass["ideal"]}
+        lens_arguments.update(kwargs)
+        return func(*args, **lens_arguments).rotate_y(90).rotate_x(90)
+
+    return wrapper_function
+
+
+def _mirror(func):
+    """Inject common mirror kwargs (parity: components.py:232-247)."""
+
+    @wraps(func)
+    def wrapper_function(*args, **kwargs):
+        mirror_arguments = {
+            "aperture": 1,
+            "material": matl.mirror,
+            "off_axis": (0, 0),
+        }
+        mirror_arguments.update(kwargs)
+        return func(*args, **mirror_arguments).rotate_y(90).rotate_x(90)
+
+    return wrapper_function
+
+
+def _create_aperture(aperture: Union[float, tuple], thickness):
+    """Aperture solid: circular (float), rectangular (tuple>0), or
+    elliptical (tuple<0).  Parity: components.py:31-53, with quirk Q3 fixed."""
+    if not hasattr(aperture, "__len__"):
+        return Cylinder(
+            radius=aperture / 2, min_height=-thickness / 2, max_height=thickness / 2
+        )
+    if aperture[0] > 0 and aperture[1] > 0:
+        min_corner = (-aperture[0] / 2, -aperture[1] / 2, -thickness / 2)
+        max_corner = (aperture[0] / 2, aperture[1] / 2, thickness / 2)
+        return Cuboid(min_corner, max_corner)
+    if aperture[0] < 0 and aperture[1] < 0:
+        shape = Cylinder(
+            radius=abs(aperture[0]) / 2,
+            min_height=-thickness / 2,
+            max_height=thickness / 2,
+        )
+        return shape.scale_y(aperture[1] / aperture[0])
+    raise TypeError(f"Could not deduce an aperture from {aperture}")
+
+
+def _lens_full_thickness(r1, r2, thickness, aperture) -> Tuple[float, float]:
+    """Sag-extended aperture thickness + center shift for a thick lens
+    (parity: components.py:130-163)."""
+    if not hasattr(aperture, "__len__"):
+        max_height = aperture / 2
+    else:
+        max_height = np.linalg.norm(aperture) / 2
+
+    left_thickness = thickness / 2
+    if np.isfinite(r1) and r1 < 0:
+        left_thickness = left_thickness + jnp.abs(r1) - jnp.sqrt(
+            jnp.abs(r1) ** 2 - max_height**2
+        )
+
+    right_thickness = thickness / 2
+    if np.isfinite(r2) and r2 > 0:
+        right_thickness = right_thickness + jnp.abs(r2) - jnp.sqrt(
+            jnp.abs(r2) ** 2 - max_height**2
+        )
+
+    center_shift = right_thickness - left_thickness
+    total_thickness = right_thickness + left_thickness
+    return total_thickness, center_shift
+
+
+@_lens
+def thick_lens(r1: float, r2: float, thickness: float, **kwargs):
+    """Thick lens with arbitrary surface curvature (sign convention per
+    radius-of-curvature optics).  Parity: components.py:73-127.
+
+    The first surface faces -X, the second +X; the aperture is in the YZ
+    plane.  Pass ``np.inf`` for a planar surface.
+    """
+    aperture_thickness, aperture_offset = _lens_full_thickness(
+        r1, r2, thickness, kwargs.get("aperture")
+    )
+
+    lens = _create_aperture(kwargs.get("aperture"), aperture_thickness).move_z(
+        aperture_offset / 2
+    )
+    lens.material = kwargs.get("material")
+
+    if np.isfinite(r1):
+        left_side = Sphere(r1, material=kwargs.get("material")).move_z(
+            r1 - thickness / 2
+        )
+        lens = (
+            csg.intersect(lens, left_side)
+            if r1 > 0
+            else csg.difference(lens, left_side)
+        )
+
+    if np.isfinite(r2):
+        right_side = Sphere(r2, material=kwargs.get("material")).move_z(
+            r2 + thickness / 2
+        )
+        lens = (
+            csg.intersect(lens, right_side)
+            if r2 < 0
+            else csg.difference(lens, right_side)
+        )
+
+    return lens
+
+
+@_lens
+def biconvex_lens(r1: float, r2: float, thickness: float, **kwargs):
+    """Biconvex thick lens (parity: components.py:166-198, with quirk Q2
+    fixed: the left surface uses r1 for both its radius and position)."""
+    aperture_shape = _create_aperture(kwargs.get("aperture"), thickness)
+    left_side = Sphere(r1).move_z(r1 - thickness / 2)
+    right_side = Sphere(r2).move_z(-(r2 - thickness / 2))
+
+    material = kwargs.get("material")
+    aperture_shape.material = material
+    left_side.material = material
+    right_side.material = material
+
+    return csg.intersect(csg.intersect(left_side, right_side), aperture_shape)
+
+
+@_lens
+def plano_convex_lens(r: float, thickness: float, **kwargs):
+    """Plano-convex lens: planar surface faces -X, sphere faces +X
+    (parity: components.py:201-229)."""
+    aperture_shape = _create_aperture(kwargs.get("aperture"), thickness)
+    right_side = Sphere(r).move_z(-(r - thickness / 2))
+
+    material = kwargs.get("material")
+    aperture_shape.material = material
+    right_side.material = material
+
+    return csg.intersect(right_side, aperture_shape)
+
+
+@_mirror
+def plane_mirror(thickness: float, **kwargs):
+    """Plane mirror, every side reflective (parity: components.py:250-266)."""
+    off_axis = kwargs.get("off_axis")
+    mirror_shape = _create_aperture(kwargs.get("aperture"), thickness).move(
+        *off_axis, 0
+    )
+    mirror_shape.material = kwargs.get("material")
+    return mirror_shape
+
+
+@_mirror
+def spherical_mirror(radius: float, thickness: float, **kwargs):
+    """Spherical mirror; only the spherical surface reflects, sidewalls
+    absorb (parity: components.py:269-321).  Focal point at (r/2, 0, 0)."""
+    off_axis = kwargs.get("off_axis")
+    material = kwargs.get("material")
+    aperture_arg = kwargs.get("aperture")
+
+    l = np.sqrt(off_axis[0] ** 2 + off_axis[1] ** 2)
+    if hasattr(aperture_arg, "__len__"):
+        dl = np.linalg.norm(aperture_arg) / 2
+    else:
+        dl = aperture_arg / 2
+
+    aperture_front_thickness = abs(radius) - np.sqrt(radius**2 - (l + dl) ** 2)
+    total_thickness = aperture_front_thickness + thickness
+
+    aperture_solid = _create_aperture(
+        aperture_arg, thickness + aperture_front_thickness
+    )
+    aperture_solid.material = matl.absorber
+    aperture_solid.move(*off_axis, 0)
+
+    if radius > 0:
+        mirror_surface = Sphere(radius, material=material).move_z(radius)
+        aperture_solid.move_z(total_thickness / 2 - thickness)
+    elif radius < 0:
+        mirror_surface = Sphere(abs(radius), material=material).move_z(radius)
+        aperture_solid.move_z(thickness - total_thickness / 2)
+    return csg.difference(aperture_solid, mirror_surface)
+
+
+@_mirror
+def parabolic_mirror(focus: float, thickness: float, **kwargs):
+    """Parabolic mirror with its focus at the origin
+    (parity: components.py:350-398)."""
+    off_axis = kwargs.get("off_axis")
+    material = kwargs.get("material")
+    aperture_arg = kwargs.get("aperture")
+
+    if hasattr(aperture_arg, "__len__"):
+        furthest_point = np.linalg.norm(
+            np.abs(np.asarray(off_axis)) + np.asarray(aperture_arg) / 2
+        )
+    else:
+        furthest_point = np.linalg.norm(np.asarray(off_axis)) + aperture_arg
+
+    front_thickness = 1 / (4 * focus) * furthest_point**2
+    total_thickness = thickness + front_thickness
+
+    aperture_shape = _create_aperture(aperture_arg, total_thickness).move(
+        *off_axis, 0
+    )
+    aperture_shape.material = matl.absorber
+    aperture_shape.move_z(total_thickness / 2 - thickness)
+
+    mirror_surface = Paraboloid(
+        focus, height=1.5 * front_thickness, material=material
+    )
+    mirror_shape = csg.difference(aperture_shape, mirror_surface)
+    mirror_shape.move_z(-focus)
+    return mirror_shape
+
+
+def equilateral_prism(
+    side_length: float,
+    width: float,
+    material: matl.TracableMaterial = None,
+):
+    """Equilateral prism: triangular faces parallel to YZ, base parallel to
+    XY (parity: components.py:401-436).  Default material BK7."""
+    if material is None:
+        material = matl.glass["BK7"]
+    cut_length = 1.1 * side_length / np.sin(60 * np.pi / 180)
+
+    prism = csg.difference(
+        csg.difference(
+            Cuboid.from_sides(side_length, width, side_length, material=material),
+            Cuboid.from_sides(cut_length, 1.1 * width, cut_length, material=material)
+            .move(-cut_length / 2, 0, cut_length / 2)
+            .rotate_y(30)
+            .move(-side_length / 2, 0, -side_length / 2),
+        ),
+        Cuboid.from_sides(cut_length, 1.1 * width, cut_length, material=material)
+        .move(cut_length / 2, 0, cut_length / 2)
+        .rotate_y(-30)
+        .move(side_length / 2, 0, -side_length / 2),
+    ).move_z(side_length / 2 * (1 - np.sin(60 * np.pi / 180)))
+    return prism
+
+
+def baffle(aperture: Union[float, Tuple[float, float]]):
+    """Planar baffle absorbing all intersecting rays, coplanar to YZ
+    (parity: components.py:439-448)."""
+    return XYPlane(aperture[0], aperture[1], material=matl.absorber).rotate_y(90)
+
+
+def aperture(
+    size: Union[float, Tuple[float, float]],
+    aperture_size: Union[float, Tuple[float, float]],
+):
+    """Planar baffle with a central transmitting opening
+    (parity: components.py:451-468)."""
+    aperture_stop = baffle(size).rotate_y(-90)
+    opening = _create_aperture(aperture_size, thickness=0.1)
+    return csg.difference(aperture_stop, opening).rotate_y(90).rotate_x(-90)
+
+
+# ---------------------------------------------------------------------------
+# Sources (parity: components.py:471-662)
+# ---------------------------------------------------------------------------
+
+
+class Source(WorldObject, abc.ABC):
+    def __init__(self, wavelength=0.633, *args, **kwargs):
+        """Base class for all sources (wavelength in microns)."""
+        super().__init__(*args, **kwargs)
+        self._wavelength = wavelength
+
+    def generate_rays(self, n_rays: int) -> RaySet:
+        """Generate rays, world-transformed with renormalized directions
+        (parity: components.py:481-496)."""
+        ray_set = self._local_ray_generation(n_rays)
+        tx = self._world_coordinate_transform
+        positions = tx @ ray_set.positions
+        directions = tx @ ray_set.directions
+        directions = directions / jnp.linalg.norm(directions, axis=0)
+        return ray_set.replace(positions=positions, directions=directions)
+
+    @abc.abstractmethod
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        ...
+
+    @property
+    def wavelength(self):
+        return self._wavelength
+
+    @wavelength.setter
+    def wavelength(self, value):
+        self._wavelength = value
+
+
+class LineOfRays(Source):
+    def __init__(self, spacing=1, wavelength=0.633, *args, **kwargs):
+        """n rays linearly spaced over ``spacing`` along local Y, all
+        pointing +X (parity: components.py:511-530)."""
+        super().__init__(wavelength, *args, **kwargs)
+        self._spacing = spacing
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        positions = rayset.positions
+        if n_rays > 1:
+            y = jnp.linspace(-self._spacing / 2, self._spacing / 2, n_rays)
+            positions = positions.at[1].set(y)
+        directions = rayset.directions.at[0].set(1.0)
+        return rayset.replace(positions=positions, directions=directions)
+
+
+class CircleOfRays(Source):
+    def __init__(self, diameter=1, wavelength=0.633, *args, **kwargs):
+        """Parallel +X rays uniformly placed on a circle in YZ
+        (parity: components.py:533-558)."""
+        super().__init__(wavelength, *args, **kwargs)
+        self._diameter = diameter
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        theta = jnp.linspace(0, 2 * jnp.pi, n_rays)
+        positions = (
+            rayset.positions.at[1]
+            .set(self._diameter / 2 * jnp.sin(theta))
+            .at[2]
+            .set(self._diameter / 2 * jnp.cos(theta))
+        )
+        directions = rayset.directions.at[0].set(1.0)
+        return rayset.replace(positions=positions, directions=directions)
+
+
+class ConeOfRays(Source):
+    def __init__(self, cone_angle: float, wavelength=0.633, *args, **kwargs):
+        """Point source emitting a cone of rays at fixed polar angle about
+        +X (parity: components.py:561-585)."""
+        super().__init__(wavelength, *args, **kwargs)
+        self._angle = cone_angle * np.pi / 180.0
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        directions = rayset.directions
+        if n_rays > 1:
+            angles = 2 * jnp.pi * jnp.arange(0, n_rays) / n_rays
+            directions = directions.at[1].set(
+                jnp.sin(self._angle) * jnp.sin(angles)
+            ).at[2].set(jnp.sin(self._angle) * jnp.cos(angles))
+        directions = directions.at[0].set(jnp.cos(self._angle))
+        return rayset.replace(directions=directions)
+
+
+class WedgeOfRays(Source):
+    def __init__(self, angle: float, wavelength=0.633, *args, **kwargs):
+        """Point source fanning rays in the XY plane over [-angle/2, angle/2]
+        (parity: components.py:588-613)."""
+        super().__init__(wavelength, *args, **kwargs)
+        self._angle = angle * np.pi / 180.0
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        angles = jnp.linspace(-self._angle / 2, self._angle / 2, n_rays)
+        directions = (
+            rayset.directions.at[0].set(jnp.cos(angles)).at[1].set(jnp.sin(angles))
+        )
+        return rayset.replace(directions=directions)
+
+
+class Lamp(Source):
+    def __init__(
+        self, width: float, length: float, max_angle: float = 90, seed=None, *args, **kwargs
+    ) -> None:
+        """Lambertian area source: random positions on a width x length
+        rectangle, directions inverse-CDF sampled on the sphere cap,
+        intensity = 100 cos(theta) (parity: components.py:616-654).
+
+        TPU deviation: randomness uses JAX's counter-based PRNG with an
+        explicit ``seed`` (reference uses global np.random state).
+        """
+        super().__init__(*args, **kwargs)
+        self._max_angle = max_angle * np.pi / 180
+        self._width = width
+        self._length = length
+        if seed is None:
+            seed = np.random.randint(0, 2**31 - 1)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        key = self._next_key()
+        k1, k2 = jax.random.split(key)
+        uv = jax.random.uniform(k1, (2, n_rays))
+        theta = jnp.arccos(1 - uv[0] * (1 - jnp.cos(self._max_angle)))
+        phi = uv[1] * 2 * jnp.pi
+
+        pos_uv = jax.random.uniform(k2, (2, n_rays))
+        positions = (
+            rayset.positions.at[1]
+            .set(self._width * (pos_uv[0] - 0.5))
+            .at[2]
+            .set(self._length * (pos_uv[1] - 0.5))
+        )
+        directions = (
+            rayset.directions.at[0]
+            .set(jnp.cos(theta))
+            .at[1]
+            .set(jnp.sin(theta) * jnp.cos(phi))
+            .at[2]
+            .set(jnp.sin(theta) * jnp.sin(phi))
+        )
+        return rayset.replace(
+            positions=positions,
+            directions=directions,
+            intensity=100.0 * jnp.cos(theta),
+        )
+
+
+class StaticLamp(Lamp):
+    """A Lamp whose generated rays are cached per ``n_rays`` so repeated
+    simulations see identical Monte-Carlo noise (parity: components.py:657-662)."""
+
+    @lru_cache(10)
+    def generate_rays(self, n_rays: int) -> RaySet:
+        return super().generate_rays(n_rays)

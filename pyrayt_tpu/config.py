@@ -1,0 +1,32 @@
+"""Trace configuration.
+
+The reference configures via two class attributes and constructor args
+(pyrayt/_pyrayt.py:190-196, SURVEY.md section 5.6); the TPU build threads
+one frozen dataclass through the engine instead.  It is hashable so it can
+key the jit cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = ["TraceConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    #: maximum bounce count before a ray is terminated (_pyrayt.py:242)
+    generation_limit: int = 10
+    #: epsilon push-off from the intersected surface (_pyrayt.py:190)
+    ray_offset: float = 1e-6
+    #: intensity kill threshold (_pyrayt.py:196)
+    intensity_threshold: float = 0.1
+    #: the reference's threshold test is inert (quirk Q1, _pyrayt.py:415-419);
+    #: False reproduces shipped behavior, True implements the intended one
+    apply_intensity_threshold: bool = False
+    #: refractive index of the world / surrounding medium (_pyrayt.py:245)
+    world_index: float = 1.0
+    #: True -> fixed-trip-count generation loop (lax.scan): reverse-mode
+    #: differentiable, no early exit.  False -> lax.while_loop with
+    #: all-rays-dead early exit (forward-only, fastest).
+    fixed_loop: bool = False

@@ -1,0 +1,338 @@
+"""The jitted trace engine.
+
+TPU-native replacement for the reference's RayTracer state machine
+(pyrayt/_pyrayt.py:329-456).  The INITIALIZE -> (PROPAGATE -> INTERACT)* ->
+FINISH loop becomes one jitted program over fixed-size SoA arrays:
+
+* PROPAGATE: every leaf surface is intersected against every ray in one
+  batched pass (rays are the lane axis); static CSG trees combine leaf
+  intervals; an unrolled min-merge picks the nearest positive hit
+  (parity: _pyrayt.py:370-392).
+* INTERACT: branch-free masked physics — normals are computed per leaf
+  under that leaf's hit mask, materials applied per material slot under
+  dispatch masks (the reference's per-surface Python loop at
+  _pyrayt.py:401-410 becomes where-composition).
+* RECORD: instead of appending to a DataFrame, each generation scatters a
+  ``(15, n)`` row block into a preallocated ``(G, 15, n)`` on-device
+  buffer; dead rays are masked, never compacted (XLA static shapes).
+
+Two loop drivers share the same generation step:
+``lax.while_loop`` (early exit when all rays die — the fast forward path)
+and ``lax.scan`` (fixed trip count — reverse-mode differentiable).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pyrayt_tpu import materials as matl
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.core import primitives as prim
+from pyrayt_tpu.core.csg import csg_combine_with_ids
+from pyrayt_tpu.core.operations import (
+    affine_inverse,
+    reflect,
+    refract,
+    safe_normalize,
+)
+from pyrayt_tpu.scene.compile import LEAF, OP_BY_NAME, CompiledScene, SceneSpec
+from pyrayt_tpu.tracer.rayset import RaySet
+
+__all__ = ["TraceResult", "trace_rays", "build_trace_fn", "N_RECORD_COLS"]
+
+# record columns: generation, intensity, wavelength, index, id, surface,
+#                 x0, y0, z0, x1, y1, z1, x_tilt, y_tilt, z_tilt
+N_RECORD_COLS = 15
+
+
+@flax.struct.dataclass
+class TraceResult:
+    records: jnp.ndarray  # (G, 15, n)
+    record_mask: jnp.ndarray  # (G, n) bool
+    final_rays: RaySet
+    generations_run: jnp.ndarray  # scalar int
+
+
+# ---------------------------------------------------------------------------
+# PROPAGATE: nearest-hit search over the flattened scene
+# ---------------------------------------------------------------------------
+
+
+def _leaf_hits(spec: SceneSpec, params, rays):
+    """Intersect all rays against every leaf. Returns a list of (2, n) hits.
+
+    The object-space transform of all leaves is one batched matmul — the
+    reference does this per surface per generation (world_objects.py:367).
+    """
+    obj_tx = affine_inverse(params["world"])  # (S, 4, 4)
+    local = jnp.einsum("sij,rjn->srin", obj_tx, rays)
+    return [
+        prim.leaf_intersect(t, local[s], params["prim"][s])
+        for s, t in enumerate(spec.leaf_types)
+    ], obj_tx
+
+
+def _eval_tree(tree, leaf_hits):
+    """Evaluate a static CSG tree -> sorted (hits, leaf-index ids)."""
+    if tree[0] == LEAF:
+        slot = tree[1]
+        hits = jnp.sort(leaf_hits[slot], axis=0)
+        ids = jnp.full(hits.shape, slot, dtype=jnp.int32)
+        return hits, ids
+    op_name, l_tree, r_tree = tree
+    l_hits, l_ids = _eval_tree(l_tree, leaf_hits)
+    r_hits, r_ids = _eval_tree(r_tree, leaf_hits)
+    return csg_combine_with_ids(l_hits, l_ids, r_hits, r_ids, OP_BY_NAME[op_name])
+
+
+def scene_nearest_hit(spec: SceneSpec, params, rays):
+    """Nearest positive hit over all components.
+
+    Returns ``(hit_distances (n,), hit_leaf (n,) int32, obj_tx (S,4,4))``
+    with ``hit_leaf = -1`` for rays that hit nothing
+    (parity: _pyrayt.py:370-392).
+    """
+    n = rays.shape[-1]
+    leaf_hits, obj_tx = _leaf_hits(spec, params, rays)
+
+    hit_distances = jnp.full(n, jnp.inf, dtype=rays.dtype)
+    hit_leaf = jnp.full(n, -1, dtype=jnp.int32)
+    for tree in spec.trees:
+        shape_hits, shape_ids = _eval_tree(tree, leaf_hits)
+        shape_hits = jnp.where(shape_hits > 0, shape_hits, jnp.inf)
+        nearest_arg = jnp.argmin(shape_hits, axis=0)
+        nearest_hit = jnp.take_along_axis(shape_hits, nearest_arg[None], axis=0)[0]
+        nearest_leaf = jnp.take_along_axis(shape_ids, nearest_arg[None], axis=0)[0]
+        new_min = nearest_hit < hit_distances
+        hit_distances = jnp.where(new_min, nearest_hit, hit_distances)
+        hit_leaf = jnp.where(new_min, nearest_leaf, hit_leaf)
+    return hit_distances, hit_leaf, obj_tx
+
+
+# ---------------------------------------------------------------------------
+# INTERACT: normals + masked material physics
+# ---------------------------------------------------------------------------
+
+
+def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
+    """Per-ray world normals of each ray's hit leaf, masked-accumulated.
+
+    Gather-free: for each leaf (small static count) compute normals for all
+    rays and select by the hit mask — dense VPU work instead of (n,4,4)
+    gathers (parity: world_objects.py:401-418 inverse-transpose transform).
+    """
+    normals = jnp.zeros_like(hit_points)
+    for s, type_code in enumerate(spec.leaf_types):
+        mask = hit_leaf == s
+        local_points = obj_tx[s] @ hit_points
+        local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
+        world = obj_tx[s].T @ local_normals
+        world = world.at[-1].set(0.0)
+        norm = jnp.linalg.norm(world, axis=0)
+        world = world / jnp.where(norm == 0, 1.0, norm)
+        world = world * spec.leaf_normal_scale[s]
+        normals = jnp.where(mask, world, normals)
+    return normals
+
+
+def _apply_materials(
+    spec: SceneSpec,
+    materials,
+    params,
+    config: TraceConfig,
+    ray_slot,
+    no_hit,
+    directions,
+    normals,
+    wavelength,
+    index,
+    intensity,
+):
+    """Masked material dispatch (parity: _pyrayt.py:401-410, materials.py)."""
+    new_dir = jnp.where(no_hit, 0.0, directions)
+    new_index = index
+    new_intensity = intensity
+    for slot, material in enumerate(materials):
+        mask = (ray_slot == slot) & ~no_hit
+        kind = spec.mat_kinds[slot]
+        if spec.mat_packed[slot] and kind == matl.KIND_ABSORB:
+            d2 = jnp.zeros_like(directions)
+            i2, t2 = index, intensity
+        elif spec.mat_packed[slot] and kind == matl.KIND_MIRROR:
+            d2 = reflect(directions, normals)
+            i2, t2 = index, intensity
+        elif spec.mat_packed[slot] and kind == matl.KIND_GLASS:
+            n2 = matl.index_from_coeffs(params["glass"][slot], wavelength)
+            d2, i2 = refract(
+                directions, normals, index, n2, n_global=config.world_index
+            )
+            t2 = intensity
+        else:
+            d2, i2, t2 = material.pure_trace(
+                directions, normals, wavelength, index, intensity
+            )
+        new_dir = jnp.where(mask, d2, new_dir)
+        new_index = jnp.where(mask, i2, new_index)
+        new_intensity = jnp.where(mask, t2, new_intensity)
+    return new_dir, new_index, new_intensity
+
+
+# ---------------------------------------------------------------------------
+# one generation step
+# ---------------------------------------------------------------------------
+
+
+def _generation_step(spec, materials, config, params, state):
+    """One PROPAGATE + INTERACT + RECORD step on masked SoA state.
+
+    ``state`` is ``(rays: RaySet, alive: (n,) bool)``; returns the new
+    state plus the (15, n) record block and its row mask.
+    """
+    rays_state, alive = state
+    p_old = rays_state.positions
+    v_old = rays_state.directions
+    rays = jnp.stack((p_old, v_old))
+
+    hit_distances, hit_leaf, obj_tx = scene_nearest_hit(spec, params, rays)
+    no_hit = hit_leaf < 0
+
+    # advance to the hit point (no-hit rays stay put; _pyrayt.py:404-407)
+    t_safe = jnp.where(no_hit, 0.0, hit_distances)
+    p_hit = p_old + t_safe * v_old
+
+    normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
+
+    ray_slot = jnp.asarray(spec.leaf_mat_slot, dtype=jnp.int32)[
+        jnp.clip(hit_leaf, 0)
+    ]
+    new_dir, new_index, new_intensity = _apply_materials(
+        spec,
+        materials,
+        params,
+        config,
+        ray_slot,
+        no_hit,
+        v_old,
+        normals,
+        rays_state.wavelength,
+        rays_state.index,
+        rays_state.intensity,
+    )
+
+    # death rules (parity incl. quirk Q1: the intensity test is opt-in)
+    absorbed = jnp.isclose(jnp.linalg.norm(v_old, axis=0), 0)
+    dead = absorbed | no_hit
+    if config.apply_intensity_threshold:
+        dead = dead | (rays_state.intensity < config.intensity_threshold)
+    living = alive & ~dead
+
+    # record block: old metadata + hit surface + segment endpoints + tilts
+    # (parity: _RayTraceDataframe.insert, _pyrayt.py:168-186)
+    public_id = jnp.asarray(spec.leaf_ids, dtype=rays.dtype)[jnp.clip(hit_leaf, 0)]
+    tilt = safe_normalize(v_old[:3], axis=0)
+    record = jnp.concatenate(
+        (
+            rays_state.metadata,
+            public_id[None],
+            p_old[:3],
+            p_hit[:3],
+            tilt,
+        )
+    )
+
+    # state update: epsilon push-off, generation bump (_pyrayt.py:439-452)
+    new_positions = p_hit + config.ray_offset * new_dir
+    next_rays = rays_state.replace(
+        positions=jnp.where(living, new_positions, p_hit),
+        directions=new_dir,
+        generation=jnp.where(living, rays_state.generation + 1, rays_state.generation),
+        index=new_index,
+        intensity=new_intensity,
+    )
+    return (next_rays, living), record, living
+
+
+# ---------------------------------------------------------------------------
+# loop drivers
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def build_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
+    """Build (and cache) the jitted trace function for a static scene shape.
+
+    Returned callable: ``fn(params, initial_rays: RaySet) -> TraceResult``.
+    Re-traces with different parameter *values* reuse the compilation.
+    """
+    generations = config.generation_limit
+
+    def step(params, carry):
+        return _generation_step(spec, materials, config, params, carry)
+
+    if config.fixed_loop:
+
+        def trace(params, initial_rays: RaySet) -> TraceResult:
+            n = initial_rays.n_rays
+            alive0 = jnp.ones(n, dtype=bool)
+
+            def scan_body(carry, _):
+                new_carry, record, mask = step(params, carry)
+                return new_carry, (record, mask)
+
+            (final_rays, alive), (records, masks) = lax.scan(
+                scan_body, (initial_rays, alive0), None, length=generations
+            )
+            gen_run = jnp.sum(jnp.any(masks, axis=1))
+            return TraceResult(
+                records=records,
+                record_mask=masks,
+                final_rays=final_rays,
+                generations_run=gen_run,
+            )
+
+    else:
+
+        def trace(params, initial_rays: RaySet) -> TraceResult:
+            n = initial_rays.n_rays
+            dtype = initial_rays.positions.dtype
+            records0 = jnp.zeros((generations, N_RECORD_COLS, n), dtype=dtype)
+            masks0 = jnp.zeros((generations, n), dtype=bool)
+            alive0 = jnp.ones(n, dtype=bool)
+
+            def cond(carry):
+                g, (_, alive), _, _ = carry
+                return (g < generations) & jnp.any(alive)
+
+            def body(carry):
+                g, ray_carry, records, masks = carry
+                new_carry, record, mask = step(params, ray_carry)
+                records = lax.dynamic_update_slice_in_dim(
+                    records, record[None], g, axis=0
+                )
+                masks = lax.dynamic_update_slice_in_dim(masks, mask[None], g, axis=0)
+                return g + 1, new_carry, records, masks
+
+            g, (final_rays, _), records, masks = lax.while_loop(
+                cond, body, (jnp.asarray(0), (initial_rays, alive0), records0, masks0)
+            )
+            return TraceResult(
+                records=records,
+                record_mask=masks,
+                final_rays=final_rays,
+                generations_run=g,
+            )
+
+    return jax.jit(trace)
+
+
+def trace_rays(
+    scene: CompiledScene, initial_rays: RaySet, config: TraceConfig
+) -> TraceResult:
+    """Trace an initial RaySet through a compiled scene."""
+    fn = build_trace_fn(scene.spec, scene.materials, config)
+    return fn(scene.params, initial_rays)
