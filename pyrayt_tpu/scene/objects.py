@@ -382,6 +382,22 @@ class TracerSurface(Intersectable, abc.ABC):
         hits = prim.leaf_intersect(self.prim_type, local_rays, jnp.asarray(self._prim_params))
         return jnp.sort(hits, axis=0), jnp.full(hits.shape, self.get_id())
 
+    def shade(self, rays, distances, **kwargs):
+        """Per-pixel RGBA of camera rays hitting this surface at ``distances``
+        (viewport path; parity: world_objects.py:385-399)."""
+        import numpy as np_
+
+        from pyrayt_tpu.render import gooch
+
+        rays = np_.asarray(rays)
+        distances = np_.asarray(distances)
+        coordinates = rays[0] + distances * rays[1]
+        normals = np_.asarray(self.get_world_normals(coordinates))
+        material = self.material if self.material is not None else gooch.BLACK
+        return material.shade(
+            np_.stack((coordinates, rays[1]), axis=0), normals, **kwargs
+        )
+
     def get_world_normals(self, positions):
         """World-space unit normals at (assumed on-surface) positions.
 
