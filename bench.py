@@ -59,6 +59,14 @@ def measure_reference_baseline() -> float:
 
     sys.path.insert(0, "/root/reference")
     try:
+        # the reference pins pandas<2 and uses the removed DataFrame.append
+        # (SURVEY.md quirk Q6); shim it so it runs under modern pandas
+        import pandas as pd
+
+        if not hasattr(pd.DataFrame, "append"):
+            pd.DataFrame.append = lambda self, other, ignore_index=False: pd.concat(
+                [self, other], ignore_index=ignore_index
+            )
         import pyrayt  # noqa: F401  (reference, run-only: no code is copied)
         from pyrayt import components as rcomp
         from pyrayt import materials as rmatl
@@ -90,14 +98,19 @@ def measure_reference_baseline() -> float:
 def main():
     fn, params, rays = build()
 
+    import numpy as np
+
     result = fn(params, rays)  # compile + warm
     jax.block_until_ready(result)
+    float(np.asarray(result.records[0, 0, 0]))  # drain the dispatch pipe
 
     best = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         result = fn(params, rays)
-        jax.block_until_ready(result.records)
+        # a host fetch of one element forces true completion — on the axon
+        # relay block_until_ready can return before the step has executed
+        float(np.asarray(result.records[0, 0, 0]))
         best = min(best, time.perf_counter() - t0)
 
     # throughput counts ray-generations processed (the engine's unit of work)

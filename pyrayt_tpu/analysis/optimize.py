@@ -1,0 +1,83 @@
+"""Gradient-based lens design.
+
+TPU-native replacement for the reference's scipy.optimize loop
+(examples/lens_design.ipynb cells 28-33), which re-traced the whole system
+per objective evaluation with finite-difference search directions.  Here the
+objective — rebuild scene from parameters -> trace -> metric — is one jitted
+differentiable program, so each optimizer step costs a single
+forward+backward trace and runs entirely on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.scene.compile import compile_scene
+from pyrayt_tpu.scene.objects import fresh_ids
+from pyrayt_tpu.tracer import engine
+from pyrayt_tpu.tracer.rayset import RaySet
+
+__all__ = ["build_objective", "optimize"]
+
+
+def build_objective(
+    build_fn: Callable,
+    rays: RaySet,
+    loss_fn: Callable,
+    config: Optional[TraceConfig] = None,
+) -> Callable:
+    """Differentiable objective ``theta -> scalar``.
+
+    ``build_fn(theta)`` constructs the component list from a parameter
+    pytree (builders accept traced values: curvatures, thicknesses, moves);
+    ``loss_fn(result)`` maps the TraceResult to a scalar (see
+    pyrayt_tpu.analysis.metrics).  Scene rebuilding happens inside the
+    trace, under ``fresh_ids`` so the flattened scene spec — and therefore
+    the compiled program — is identical every call (no recompilation).
+    """
+    config = config or TraceConfig(fixed_loop=True)
+    if not config.fixed_loop:
+        config = TraceConfig(**{**config.__dict__, "fixed_loop": True})
+
+    def objective(theta):
+        with fresh_ids():
+            components = build_fn(theta)
+            scene = compile_scene(components)
+        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+        return loss_fn(trace(scene.params, rays))
+
+    return objective
+
+
+def optimize(
+    objective: Callable,
+    theta0,
+    steps: int = 100,
+    optimizer=None,
+    learning_rate: float = 1e-2,
+) -> Tuple[object, List[float]]:
+    """Minimize a differentiable objective with optax (default: adam).
+
+    Returns ``(theta_opt, loss_history)``.
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(theta0)
+
+    @jax.jit
+    def step(theta, opt_state):
+        loss, grads = jax.value_and_grad(objective)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        return optax.apply_updates(theta, updates), opt_state, loss
+
+    history: List[float] = []
+    theta = theta0
+    for _ in range(steps):
+        theta, opt_state, loss = step(theta, opt_state)
+        history.append(float(loss))
+    return theta, history

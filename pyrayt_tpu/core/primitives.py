@@ -62,6 +62,12 @@ CYLINDER = 4
 PARAM_WIDTH = 6
 
 
+
+def _sort2(a, b):
+    """(2, n) ascending pair — jnp.sort(axis=0) lowers to a slow variadic
+    sort on TPU; a minimum/maximum pair is pure VPU work."""
+    return jnp.stack((jnp.minimum(a, b), jnp.maximum(a, b)))
+
 def _origins_directions(rays):
     rays = jnp.asarray(rays)
     return rays[0, :-1], rays[1, :-1]
@@ -133,7 +139,7 @@ def paraboloid_intersect(rays, focus, height):
         )
     )
     parabola_hits = jnp.where(linear_cases, linear_hits, parabola_hits)
-    parabola_hits = jnp.sort(parabola_hits, axis=0)
+    parabola_hits = _sort2(parabola_hits[0], parabola_hits[1])
 
     # clip against the z in [0, height] slab (cap planes)
     parallel = jnp.isclose(directions[2], 0)
@@ -141,7 +147,7 @@ def paraboloid_intersect(rays, focus, height):
     denominator = directions[2] + parallel
     lo = -origins[2] / denominator
     hi = (height - origins[2]) / denominator
-    slab = jnp.sort(jnp.stack((lo, hi)), axis=0)
+    slab = _sort2(lo, hi)
     slab = jnp.where(parallel, jnp.inf, slab)
     slab = slab.at[0].set(jnp.where(parallel & inside, -jnp.inf, slab[0]))
 
@@ -173,14 +179,9 @@ def plane_intersect(rays, width, length):
         skew_hit = jnp.where(jnp.abs(origins[axis]) <= dim / 2, -jnp.inf, jnp.inf)
         hit_1 = -(origins[axis] - dim / 2) / (directions[axis] + is_zero)
         hit_2 = -(origins[axis] + dim / 2) / (directions[axis] + is_zero)
-        pair = jnp.sort(
-            jnp.stack(
-                (
-                    jnp.where(is_zero, skew_hit, hit_1),
-                    jnp.where(is_zero, jnp.inf, hit_2),
-                )
-            ),
-            axis=0,
+        pair = _sort2(
+            jnp.where(is_zero, skew_hit, hit_1),
+            jnp.where(is_zero, jnp.inf, hit_2),
         )
         lo_bounds.append(pair[0])
         hi_bounds.append(pair[1])
@@ -224,14 +225,9 @@ def cube_intersect(rays, axis_spans):
         skew_min = jnp.where(inside, -jnp.inf, jnp.inf)
         hit_lo = -(origins[axis] - axis_spans[axis, 0]) / (directions[axis] + is_zero)
         hit_hi = -(origins[axis] - axis_spans[axis, 1]) / (directions[axis] + is_zero)
-        pair = jnp.sort(
-            jnp.stack(
-                (
-                    jnp.where(is_zero, skew_min, hit_lo),
-                    jnp.where(is_zero, jnp.inf, hit_hi),
-                )
-            ),
-            axis=0,
+        pair = _sort2(
+            jnp.where(is_zero, skew_min, hit_lo),
+            jnp.where(is_zero, jnp.inf, hit_hi),
         )
         mins.append(pair[0])
         maxes.append(pair[1])
@@ -269,14 +265,15 @@ def cylinder_intersect(rays, radius, h_min, h_max):
     b = 2 * element_wise_dot(directions_2d, origins_2d, axis=0)
     c = element_wise_dot(origins_2d, origins_2d, axis=0) - radius**2
 
-    sidewall = jnp.sort(binomial_root(a, b, c), axis=0)
+    roots = binomial_root(a, b, c)
+    sidewall = _sort2(roots[0], roots[1])
 
     parallel = jnp.isclose(directions[2], 0)
     inside = (origins[2] >= h_min) & (origins[2] <= h_max)
     denominator = directions[2] + parallel
     lo = (h_min - origins[2]) / denominator
     hi = (h_max - origins[2]) / denominator
-    slab = jnp.sort(jnp.stack((lo, hi)), axis=0)
+    slab = _sort2(lo, hi)
     slab = jnp.where(parallel, jnp.inf, slab)
     slab = slab.at[0].set(jnp.where(parallel & inside, -jnp.inf, slab[0]))
 

@@ -30,8 +30,9 @@ def _nearest_hit_fn(spec):
 
     def fn(params, rays):
         hit_distances, hit_leaf, _ = scene_nearest_hit(spec, params, rays)
-        public = jnp.asarray(spec.leaf_ids, dtype=jnp.int32)[jnp.clip(hit_leaf, 0)]
-        surface_ids = jnp.where(hit_leaf < 0, -1, public)
+        surface_ids = jnp.full_like(hit_leaf, -1)
+        for s, leaf_id in enumerate(spec.leaf_ids):
+            surface_ids = jnp.where(hit_leaf == s, leaf_id, surface_ids)
         return hit_distances, surface_ids
 
     return jax.jit(fn)

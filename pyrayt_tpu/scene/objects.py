@@ -380,7 +380,8 @@ class TracerSurface(Intersectable, abc.ABC):
             "ij,rjn->rin", jnp.asarray(self._object_coordinate_transform), rays
         )
         hits = prim.leaf_intersect(self.prim_type, local_rays, jnp.asarray(self._prim_params))
-        return jnp.sort(hits, axis=0), jnp.full(hits.shape, self.get_id())
+        hits = jnp.stack((jnp.minimum(hits[0], hits[1]), jnp.maximum(hits[0], hits[1])))
+        return hits, jnp.full(hits.shape, self.get_id())
 
     def shade(self, rays, distances, **kwargs):
         """Per-pixel RGBA of camera rays hitting this surface at ``distances``

@@ -81,7 +81,10 @@ def _eval_tree(tree, leaf_hits):
     """Evaluate a static CSG tree -> sorted (hits, leaf-index ids)."""
     if tree[0] == LEAF:
         slot = tree[1]
-        hits = jnp.sort(leaf_hits[slot], axis=0)
+        pair = leaf_hits[slot]  # (2, n) entry/exit roots
+        hits = jnp.stack(
+            (jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1]))
+        )
         ids = jnp.full(hits.shape, slot, dtype=jnp.int32)
         return hits, ids
     op_name, l_tree, r_tree = tree
@@ -104,13 +107,13 @@ def scene_nearest_hit(spec: SceneSpec, params, rays):
     hit_leaf = jnp.full(n, -1, dtype=jnp.int32)
     for tree in spec.trees:
         shape_hits, shape_ids = _eval_tree(tree, leaf_hits)
-        shape_hits = jnp.where(shape_hits > 0, shape_hits, jnp.inf)
-        nearest_arg = jnp.argmin(shape_hits, axis=0)
-        nearest_hit = jnp.take_along_axis(shape_hits, nearest_arg[None], axis=0)[0]
-        nearest_leaf = jnp.take_along_axis(shape_ids, nearest_arg[None], axis=0)[0]
-        new_min = nearest_hit < hit_distances
-        hit_distances = jnp.where(new_min, nearest_hit, hit_distances)
-        hit_leaf = jnp.where(new_min, nearest_leaf, hit_leaf)
+        # nearest positive hit: unrolled min-fold over the (static, tiny)
+        # event axis — no argmin/gather (TPU gathers serialize; SURVEY §7.4)
+        for row in range(shape_hits.shape[0]):
+            cand = jnp.where(shape_hits[row] > 0, shape_hits[row], jnp.inf)
+            new_min = cand < hit_distances
+            hit_distances = jnp.where(new_min, cand, hit_distances)
+            hit_leaf = jnp.where(new_min, shape_ids[row], hit_leaf)
     return hit_distances, hit_leaf, obj_tx
 
 
@@ -207,9 +210,11 @@ def _generation_step(spec, materials, config, params, state):
 
     normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
 
-    ray_slot = jnp.asarray(spec.leaf_mat_slot, dtype=jnp.int32)[
-        jnp.clip(hit_leaf, 0)
-    ]
+    # leaf -> material-slot table lookup as a where-fold (static tiny table;
+    # avoids an (n,) gather which TPU lowers poorly)
+    ray_slot = jnp.zeros_like(hit_leaf)
+    for s, slot in enumerate(spec.leaf_mat_slot):
+        ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
     new_dir, new_index, new_intensity = _apply_materials(
         spec,
         materials,
@@ -233,7 +238,9 @@ def _generation_step(spec, materials, config, params, state):
 
     # record block: old metadata + hit surface + segment endpoints + tilts
     # (parity: _RayTraceDataframe.insert, _pyrayt.py:168-186)
-    public_id = jnp.asarray(spec.leaf_ids, dtype=rays.dtype)[jnp.clip(hit_leaf, 0)]
+    public_id = jnp.zeros(hit_leaf.shape, dtype=rays.dtype)
+    for s, leaf_id in enumerate(spec.leaf_ids):
+        public_id = jnp.where(hit_leaf == s, jnp.asarray(leaf_id, rays.dtype), public_id)
     tilt = safe_normalize(v_old[:3], axis=0)
     record = jnp.concatenate(
         (
