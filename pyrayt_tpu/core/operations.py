@@ -137,12 +137,12 @@ def binomial_root(a, b, c, disc=None):
     polyroots = jnp.where(linear_cases, linear_root[None], polyroots)
 
     # constant case: +/-inf encodes "always inside" (c <= 0) vs "never inside"
+    # (row-stack rather than .at[].set: static row updates lower to scatter,
+    # which Pallas TPU cannot lower and XLA fuses poorly)
     c_terms_only = linear_cases & jnp.isclose(b, 0)
     polyroots = jnp.where(c_terms_only, jnp.inf, polyroots)
-    polyroots = polyroots.at[0].set(
-        jnp.where(c_terms_only & (c <= 0), -jnp.inf, polyroots[0])
-    )
-    return polyroots
+    row0 = jnp.where(c_terms_only & (c <= 0), -jnp.inf, polyroots[0])
+    return jnp.stack((row0, polyroots[1]))
 
 
 def element_wise_dot(mat_1, mat_2, axis=0):

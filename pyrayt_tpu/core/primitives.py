@@ -104,10 +104,15 @@ def sphere_intersect(rays, radius):
     return jnp.where((disc >= 0) & ~degenerate, hits, jnp.inf)
 
 
+def _zero_w(points):
+    """Zero the homogeneous w row without a scatter (Pallas-lowerable)."""
+    return jnp.concatenate((points[:3], jnp.zeros_like(points[:1])), axis=0)
+
+
 def sphere_normal(points, radius):
     del radius  # the sphere normal is radial regardless of radius
     points = jnp.asarray(points)
-    normals = points.at[-1].set(0.0)
+    normals = _zero_w(points)
     norm = jnp.linalg.norm(normals, axis=0)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
@@ -148,17 +153,18 @@ def paraboloid_intersect(rays, focus, height):
     lo = -origins[2] / denominator
     hi = (height - origins[2]) / denominator
     slab = _sort2(lo, hi)
-    slab = jnp.where(parallel, jnp.inf, slab)
-    slab = slab.at[0].set(jnp.where(parallel & inside, -jnp.inf, slab[0]))
+    slab_lo = jnp.where(parallel, jnp.where(inside, -jnp.inf, jnp.inf), slab[0])
+    slab_hi = jnp.where(parallel, jnp.inf, slab[1])
 
-    return _slab_clip(parabola_hits, slab[0], slab[1])
+    return _slab_clip(parabola_hits, slab_lo, slab_hi)
 
 
 def paraboloid_normal(points, focus, height):
     points = jnp.asarray(points)
-    normals = points.at[3].set(0.0).at[2].set(-2 * focus)
+    zeros = jnp.zeros_like(points[0])
+    normals = jnp.stack((points[0], points[1], zeros - 2 * focus, zeros))
     cap = jnp.isclose(points[2], height)
-    cap_normal = jnp.array([0.0, 0.0, 1.0, 0.0])[:, None]
+    cap_normal = jnp.stack((zeros, zeros, zeros + 1.0, zeros))
     normals = jnp.where(cap, cap_normal, normals)
     norm = jnp.linalg.norm(normals, axis=0)
     return normals / jnp.where(norm == 0, 1.0, norm)
@@ -201,8 +207,8 @@ def plane_intersect(rays, width, length):
 def plane_normal(points, width, length):
     del width, length
     points = jnp.asarray(points)
-    normals = jnp.zeros_like(points)
-    return normals.at[2].set(1.0)
+    zeros = jnp.zeros_like(points[0])
+    return jnp.stack((zeros, zeros, zeros + 1.0, zeros))
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +253,7 @@ def cube_normal(points, axis_spans):
     positive = jnp.isclose(points, padded[:, 1:2])
     normals = jnp.where(negative, -1.0, 0.0)
     normals = jnp.where(positive, 1.0, normals)
-    normals = normals.at[-1].set(0.0)
+    normals = _zero_w(normals)
     norm = jnp.linalg.norm(normals, axis=0)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
@@ -274,24 +280,25 @@ def cylinder_intersect(rays, radius, h_min, h_max):
     lo = (h_min - origins[2]) / denominator
     hi = (h_max - origins[2]) / denominator
     slab = _sort2(lo, hi)
-    slab = jnp.where(parallel, jnp.inf, slab)
-    slab = slab.at[0].set(jnp.where(parallel & inside, -jnp.inf, slab[0]))
+    slab_lo = jnp.where(parallel, jnp.where(inside, -jnp.inf, jnp.inf), slab[0])
+    slab_hi = jnp.where(parallel, jnp.inf, slab[1])
 
-    return _slab_clip(sidewall, slab[0], slab[1])
+    return _slab_clip(sidewall, slab_lo, slab_hi)
 
 
 def cylinder_normal(points, radius, h_min, h_max, capped=True):
     del radius
     points = jnp.asarray(points)
-    normals = points.at[2].set(0.0).at[3].set(0.0)
+    zeros = jnp.zeros_like(points[0])
+    normals = jnp.stack((points[0], points[1], zeros, zeros))
     if capped is not False:
         # ``capped`` may be a traced 0/1 float from the packed param vector
         capped_f = jnp.asarray(capped, dtype=points.dtype)
         z = points[2]
         lo_cap = jnp.isclose(z, h_min) & (capped_f != 0)
         hi_cap = jnp.isclose(z, h_max) & (capped_f != 0)
-        down = jnp.array([0.0, 0.0, -1.0, 0.0])[:, None]
-        up = jnp.array([0.0, 0.0, 1.0, 0.0])[:, None]
+        down = jnp.stack((zeros, zeros, zeros - 1.0, zeros))
+        up = jnp.stack((zeros, zeros, zeros + 1.0, zeros))
         normals = jnp.where(lo_cap, down, normals)
         normals = jnp.where(hi_cap, up, normals)
     norm = jnp.linalg.norm(normals, axis=0)

@@ -135,7 +135,7 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
         local_points = obj_tx[s] @ hit_points
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
         world = obj_tx[s].T @ local_normals
-        world = world.at[-1].set(0.0)
+        world = prim._zero_w(world)
         norm = jnp.linalg.norm(world, axis=0)
         world = world / jnp.where(norm == 0, 1.0, norm)
         world = world * spec.leaf_normal_scale[s]
