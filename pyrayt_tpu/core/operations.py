@@ -77,6 +77,24 @@ def affine_inverse(matrices):
     return out
 
 
+def _sum_rows(x):
+    """``jnp.sum(x, axis=0)`` unrolled over a small static leading axis.
+
+    Mosaic (Pallas TPU) cannot lower sublane-axis multi_reductions on
+    offset-layout slices; an explicit row sum is pure elementwise VPU work
+    and XLA fuses it identically.
+    """
+    total = x[0]
+    for i in range(1, x.shape[0]):
+        total = total + x[i]
+    return total
+
+
+def _norm_rows(x):
+    """``jnp.linalg.norm(x, axis=0)`` via the unrolled row sum."""
+    return jnp.sqrt(_sum_rows(x * x))
+
+
 def safe_sqrt(x):
     """``sqrt(max(0, x))`` with a zero (not inf/NaN) gradient at ``x <= 0``.
 
@@ -95,7 +113,10 @@ def safe_normalize(vectors, axis=0, eps=0.0):
     which NaNs on absorbed rays (zero direction).  Dead rays are first-class
     in the masked TPU formulation, so the guard is required.
     """
-    norm = jnp.linalg.norm(vectors, axis=axis, keepdims=True)
+    if axis == 0 and jnp.ndim(vectors) >= 1:
+        norm = _norm_rows(jnp.asarray(vectors))[None]
+    else:
+        norm = jnp.linalg.norm(vectors, axis=axis, keepdims=True)
     zero = norm <= eps
     return jnp.where(zero, vectors, vectors / jnp.where(zero, 1.0, norm))
 
@@ -154,6 +175,8 @@ def element_wise_dot(mat_1, mat_2, axis=0):
     mat_2 = jnp.asarray(mat_2)
     if mat_1.ndim == 1:
         return jnp.dot(mat_1, mat_2)
+    if axis == 0:
+        return _sum_rows(mat_1 * mat_2)
     return jnp.sum(mat_1 * mat_2, axis=axis)
 
 

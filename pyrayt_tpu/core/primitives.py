@@ -23,7 +23,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from pyrayt_tpu.core.operations import binomial_root, element_wise_dot, safe_sqrt
+from pyrayt_tpu.core.operations import (
+    _norm_rows,
+    binomial_root,
+    element_wise_dot,
+    safe_sqrt,
+)
 
 __all__ = [
     "SPHERE",
@@ -113,7 +118,7 @@ def sphere_normal(points, radius):
     del radius  # the sphere normal is radial regardless of radius
     points = jnp.asarray(points)
     normals = _zero_w(points)
-    norm = jnp.linalg.norm(normals, axis=0)
+    norm = _norm_rows(normals)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
 
@@ -166,7 +171,7 @@ def paraboloid_normal(points, focus, height):
     cap = jnp.isclose(points[2], height)
     cap_normal = jnp.stack((zeros, zeros, zeros + 1.0, zeros))
     normals = jnp.where(cap, cap_normal, normals)
-    norm = jnp.linalg.norm(normals, axis=0)
+    norm = _norm_rows(normals)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
 
@@ -254,7 +259,7 @@ def cube_normal(points, axis_spans):
     normals = jnp.where(negative, -1.0, 0.0)
     normals = jnp.where(positive, 1.0, normals)
     normals = _zero_w(normals)
-    norm = jnp.linalg.norm(normals, axis=0)
+    norm = _norm_rows(normals)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
 
@@ -301,7 +306,7 @@ def cylinder_normal(points, radius, h_min, h_max, capped=True):
         up = jnp.stack((zeros, zeros, zeros + 1.0, zeros))
         normals = jnp.where(lo_cap, down, normals)
         normals = jnp.where(hi_cap, up, normals)
-    norm = jnp.linalg.norm(normals, axis=0)
+    norm = _norm_rows(normals)
     return normals / jnp.where(norm == 0, 1.0, norm)
 
 

@@ -35,6 +35,7 @@ from pyrayt_tpu.config import TraceConfig
 from pyrayt_tpu.core import primitives as prim
 from pyrayt_tpu.core.csg import csg_combine_with_ids
 from pyrayt_tpu.core.operations import (
+    _norm_rows,
     affine_inverse,
     reflect,
     refract,
@@ -136,7 +137,7 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
         world = obj_tx[s].T @ local_normals
         world = prim._zero_w(world)
-        norm = jnp.linalg.norm(world, axis=0)
+        norm = _norm_rows(world)
         world = world / jnp.where(norm == 0, 1.0, norm)
         world = world * spec.leaf_normal_scale[s]
         normals = jnp.where(mask, world, normals)
@@ -230,7 +231,7 @@ def _generation_step(spec, materials, config, params, state):
     )
 
     # death rules (parity incl. quirk Q1: the intensity test is opt-in)
-    absorbed = jnp.isclose(jnp.linalg.norm(v_old, axis=0), 0)
+    absorbed = jnp.isclose(_norm_rows(v_old), 0)
     dead = absorbed | no_hit
     if config.apply_intensity_threshold:
         dead = dead | (rays_state.intensity < config.intensity_threshold)
