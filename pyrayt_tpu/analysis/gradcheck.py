@@ -69,6 +69,12 @@ def check_gradients(
     for i, (a, n) in enumerate(zip(a_flat, n_flat)):
         a = np.asarray(a, dtype=np.float64)
         n = np.asarray(n, dtype=np.float64)
+        if not np.all(np.isfinite(a)):
+            failures.append(f"leaf {i}: analytic gradient is non-finite: {a}")
+            continue
+        if not np.all(np.isfinite(n)):
+            failures.append(f"leaf {i}: FD gradient is non-finite: {n}")
+            continue
         abs_err = np.abs(a - n)
         rel_err = abs_err / np.maximum(np.abs(n), atol / rtol)
         max_abs = max(max_abs, float(abs_err.max(initial=0.0)))

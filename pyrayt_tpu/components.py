@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 import pyrayt_tpu.materials as matl
+from pyrayt_tpu.core.operations import safe_sqrt
 from pyrayt_tpu.scene import csg
+from pyrayt_tpu.scene._backend import is_traced, xp_for
 from pyrayt_tpu.scene.objects import WorldObject
 from pyrayt_tpu.scene.surfaces import Cuboid, Cylinder, Paraboloid, Sphere, XYPlane
 from pyrayt_tpu.tracer.rayset import RaySet
@@ -101,25 +103,61 @@ def _create_aperture(aperture: Union[float, tuple], thickness):
     raise TypeError(f"Could not deduce an aperture from {aperture}")
 
 
-def _lens_full_thickness(r1, r2, thickness, aperture) -> Tuple[float, float]:
+def _surface_sign(r, override=None, name="r"):
+    """Static classification of a lens surface radius: +1, -1, or 0 (planar).
+
+    The per-surface CSG choice (intersect vs difference, reference
+    components.py:104-126) is *program structure*, so it must be known when
+    the scene is compiled.  Concrete radii carry their own sign; traced radii
+    (differentiable lens design) must state it via ``r1_sign``/``r2_sign`` —
+    the optimizer then explores magnitudes within that fixed convexity.
+    """
+    if override is not None:
+        if override not in (1, -1, 0):
+            raise ValueError(f"{name}_sign must be +1, -1, or 0, got {override!r}")
+        return override
+    if is_traced(r):
+        raise ValueError(
+            f"{name} is a traced value; its sign selects the lens's CSG "
+            f"structure, which must be static under jit/grad.  Pass "
+            f"{name}_sign=+1 (curving toward +Z/-X) or {name}_sign=-1."
+        )
+    r = float(r)
+    if not np.isfinite(r):
+        return 0
+    return 1 if r > 0 else -1
+
+
+def _lens_full_thickness(
+    r1, r2, thickness, aperture, s1=None, s2=None
+) -> Tuple[float, float]:
     """Sag-extended aperture thickness + center shift for a thick lens
-    (parity: components.py:130-163)."""
+    (parity: components.py:130-163).  ``s1``/``s2`` are the static surface
+    signs from :func:`_surface_sign` (inferred when omitted); the sag math
+    itself is trace-safe."""
+    if s1 is None:
+        s1 = _surface_sign(r1, name="r1")
+    if s2 is None:
+        s2 = _surface_sign(r2, name="r2")
     if not hasattr(aperture, "__len__"):
         max_height = aperture / 2
     else:
         max_height = np.linalg.norm(aperture) / 2
 
+    def _sag(r):
+        # aperture-edge sag of a spherical cap; safe_sqrt keeps the backward
+        # pass finite as |r| approaches the semi-aperture
+        if is_traced(r, thickness):
+            return jnp.abs(r) - safe_sqrt(r * r - max_height**2)
+        return abs(r) - np.sqrt(max(r * r - max_height**2, 0.0))
+
     left_thickness = thickness / 2
-    if np.isfinite(r1) and r1 < 0:
-        left_thickness = left_thickness + jnp.abs(r1) - jnp.sqrt(
-            jnp.abs(r1) ** 2 - max_height**2
-        )
+    if s1 == -1:
+        left_thickness = left_thickness + _sag(r1)
 
     right_thickness = thickness / 2
-    if np.isfinite(r2) and r2 > 0:
-        right_thickness = right_thickness + jnp.abs(r2) - jnp.sqrt(
-            jnp.abs(r2) ** 2 - max_height**2
-        )
+    if s2 == 1:
+        right_thickness = right_thickness + _sag(r2)
 
     center_shift = right_thickness - left_thickness
     total_thickness = right_thickness + left_thickness
@@ -133,9 +171,16 @@ def thick_lens(r1: float, r2: float, thickness: float, **kwargs):
 
     The first surface faces -X, the second +X; the aperture is in the YZ
     plane.  Pass ``np.inf`` for a planar surface.
+
+    Differentiable design: ``r1``/``r2``/``thickness`` may be traced values
+    (e.g. inside ``jax.grad``); because each surface's sign picks the CSG
+    structure, traced radii additionally need static ``r1_sign=``/
+    ``r2_sign=`` (+1 or -1, 0 for planar).  Magnitudes stay differentiable.
     """
+    s1 = _surface_sign(r1, kwargs.pop("r1_sign", None), "r1")
+    s2 = _surface_sign(r2, kwargs.pop("r2_sign", None), "r2")
     aperture_thickness, aperture_offset = _lens_full_thickness(
-        r1, r2, thickness, kwargs.get("aperture")
+        r1, r2, thickness, kwargs.get("aperture"), s1, s2
     )
 
     lens = _create_aperture(kwargs.get("aperture"), aperture_thickness).move_z(
@@ -143,23 +188,23 @@ def thick_lens(r1: float, r2: float, thickness: float, **kwargs):
     )
     lens.material = kwargs.get("material")
 
-    if np.isfinite(r1):
+    if s1 != 0:
         left_side = Sphere(r1, material=kwargs.get("material")).move_z(
             r1 - thickness / 2
         )
         lens = (
             csg.intersect(lens, left_side)
-            if r1 > 0
+            if s1 > 0
             else csg.difference(lens, left_side)
         )
 
-    if np.isfinite(r2):
+    if s2 != 0:
         right_side = Sphere(r2, material=kwargs.get("material")).move_z(
             r2 + thickness / 2
         )
         lens = (
             csg.intersect(lens, right_side)
-            if r2 < 0
+            if s2 < 0
             else csg.difference(lens, right_side)
         )
 

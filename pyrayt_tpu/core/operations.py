@@ -112,13 +112,21 @@ def safe_normalize(vectors, axis=0, eps=0.0):
     The reference divides by the raw norm (tinygfx/g3d/operations.py:125),
     which NaNs on absorbed rays (zero direction).  Dead rays are first-class
     in the masked TPU formulation, so the guard is required.
+
+    The guard must sit on the *sqrt argument*, not only the division:
+    ``d sqrt(s)/ds`` at ``s = 0`` is infinite, and ``0 cotangent * inf``
+    makes NaN in reverse mode.  That NaN would leak through any broadcast
+    scalar shared between dead and living rays (e.g. the refractive index
+    n2 in refract), silently poisoning e.g. Sellmeier-coefficient grads.
     """
-    if axis == 0 and jnp.ndim(vectors) >= 1:
-        norm = _norm_rows(jnp.asarray(vectors))[None]
+    vectors = jnp.asarray(vectors)
+    if axis == 0 and vectors.ndim >= 1:
+        sq = _sum_rows(vectors * vectors)[None]
     else:
-        norm = jnp.linalg.norm(vectors, axis=axis, keepdims=True)
-    zero = norm <= eps
-    return jnp.where(zero, vectors, vectors / jnp.where(zero, 1.0, norm))
+        sq = jnp.sum(vectors * vectors, axis=axis, keepdims=True)
+    zero = sq <= eps * eps if eps else sq == 0
+    norm = jnp.sqrt(jnp.where(zero, 1.0, sq))
+    return jnp.where(zero, vectors, vectors / norm)
 
 
 def smallest_positive_root(a, b, c):

@@ -38,6 +38,7 @@ from pyrayt_tpu.config import TraceConfig
 from pyrayt_tpu.core import primitives as prim
 from pyrayt_tpu.core.operations import (
     _norm_rows,
+    _sum_rows,
     affine_inverse,
     reflect,
     refract,
@@ -184,8 +185,9 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
             local_p = _apply44(mats[s], p_hit)
             ln = _leaf_normal_scalar(t, local_p, prim_ref, s)
             wn = prim._zero_w(_apply44_transpose(mats[s], ln))
-            norm = _norm_rows(wn)
-            wn = wn / jnp.where(norm == 0, 1.0, norm)
+            sq = _sum_rows(wn * wn)
+            zero = sq == 0
+            wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
             wn = wn * spec.leaf_normal_scale[s]
             normals = jnp.where(hit_leaf == s, wn, normals)
 

@@ -36,6 +36,7 @@ from pyrayt_tpu.core import primitives as prim
 from pyrayt_tpu.core.csg import csg_combine_with_ids
 from pyrayt_tpu.core.operations import (
     _norm_rows,
+    _sum_rows,
     affine_inverse,
     reflect,
     refract,
@@ -137,8 +138,11 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
         world = obj_tx[s].T @ local_normals
         world = prim._zero_w(world)
-        norm = _norm_rows(world)
-        world = world / jnp.where(norm == 0, 1.0, norm)
+        # clamp the sqrt *argument* so reverse-mode stays NaN-free at
+        # zero-length normals (see core.operations.safe_normalize)
+        sq = _sum_rows(world * world)
+        zero = sq == 0
+        world = jnp.where(zero, world, world / jnp.sqrt(jnp.where(zero, 1.0, sq)))
         world = world * spec.leaf_normal_scale[s]
         normals = jnp.where(mask, world, normals)
     return normals
