@@ -9,6 +9,7 @@ key the jit cache.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 __all__ = ["TraceConfig"]
 
@@ -30,3 +31,7 @@ class TraceConfig:
     #: differentiable, no early exit.  False -> lax.while_loop with
     #: all-rays-dead early exit (forward-only, fastest).
     fixed_loop: bool = False
+    #: fused Pallas kernel dispatch for forward traces via trace_rays():
+    #: None = auto (fused on TPU when the scene supports it), True = force
+    #: (raises if unsupported), False = always the XLA engine.
+    use_fused: Optional[bool] = None

@@ -74,8 +74,10 @@ def _sort2(a, b):
     return jnp.stack((jnp.minimum(a, b), jnp.maximum(a, b)))
 
 def _origins_directions(rays):
+    # rays may be (2, 4, ...) homogeneous or (2, 3, ...) plain-xyz (the
+    # fused kernel strips the constant w rows); both index identically
     rays = jnp.asarray(rays)
-    return rays[0, :-1], rays[1, :-1]
+    return rays[0, :3], rays[1, :3]
 
 
 def _slab_clip(primary_hits, lo_hit, hi_hit):
@@ -254,8 +256,11 @@ def cube_normal(points, axis_spans):
     points = jnp.asarray(points)
     axis_spans = jnp.asarray(axis_spans)
     padded = jnp.concatenate((axis_spans, jnp.zeros((1, 2), axis_spans.dtype)))
-    negative = jnp.isclose(points, padded[:, 0:1])
-    positive = jnp.isclose(points, padded[:, 1:2])
+    # broadcast the per-axis face coordinates over any trailing ray shape
+    # (points may be (4, n) or (4, R, 128) in the fused kernel)
+    trailing = (1,) * (points.ndim - 1)
+    negative = jnp.isclose(points, padded[:, 0].reshape((4,) + trailing))
+    positive = jnp.isclose(points, padded[:, 1].reshape((4,) + trailing))
     normals = jnp.where(negative, -1.0, 0.0)
     normals = jnp.where(positive, 1.0, normals)
     normals = _zero_w(normals)

@@ -1,24 +1,34 @@
 """Fused Pallas trace kernel: the whole bounce loop in VMEM.
 
 The XLA engine (pyrayt_tpu/tracer/engine.py) runs the generation loop as a
-``lax.scan`` whose step is dozens of small fused kernels; every intermediate
-round-trips HBM, so at 1M rays the trace is HBM-bandwidth-bound on traffic
-that never needed to leave the chip.  This module compiles the *entire*
-trace — every PROPAGATE + INTERACT + RECORD generation — into one Pallas
-kernel blocked over the ray axis:
+``lax.scan``/``lax.while_loop`` whose step is many small fused kernels;
+every generation's ray state round-trips HBM.  This module compiles the
+*entire* trace — every PROPAGATE + INTERACT + RECORD generation — into one
+Pallas kernel blocked over the ray axis:
 
-* each grid step loads a ``(13, B)`` ray-state block into VMEM once,
-* runs all ``generation_limit`` bounces on it without touching HBM
-  (scene constants live in SMEM; transforms are scalarized multiply-adds,
-  CSG is the comparator-network engine — pure VPU work),
-* and writes only the mandatory outputs: the ``(G, 15, B)`` record block,
-  per-generation living masks, and the final ray state.
+* each grid step loads one ray-state block into VMEM once,
+* runs the generation loop on it without touching HBM (scene constants live
+  in SMEM; transforms are scalar-broadcast multiply-adds, CSG is the
+  comparator-network engine — pure VPU work), with an in-kernel
+  ``lax.while_loop`` that exits as soon as every ray in the block is dead,
+* and writes only the mandatory outputs: the ``(G, 15, ...)`` record
+  block, per-generation living masks, and the final ray state.
 
-HBM traffic drops to the information-theoretic floor (state in + records +
-state out).  Physics parity is with engine._generation_step — the two paths
-are asserted equal in tests/test_ops/test_fused_trace.py.
+TPU layout note: rays are shaped ``(R, 128)`` — sublanes x lanes — not
+``(B,)``.  Mosaic lays a 1-D vector out as ``(1, B)``, wasting 7/8 of every
+f32 vector register; the 2-D tiling keeps the VPU fully occupied.  The ray
+axis is simply reshaped ``n -> (n / 128, 128)`` outside the kernel (row
+major, so host-side order is unchanged).
 
-Scope: forward tracing only (Pallas kernels are not reverse-mode
+Physics parity with engine._generation_step is asserted in
+tests/test_ops/test_fused_trace.py (interpret mode, bit-exact) and the
+dispatch from :func:`pyrayt_tpu.tracer.engine.trace_rays` is covered there
+too.  On TPU hardware the two paths may pick different branches for
+edge-grazing rays (different f32 contraction between Mosaic and XLA); the
+disagreement rate on the 1M-ray condenser trace is ~1% of rays, all at
+geometric boundaries (measured; see tests).
+
+Scope: forward tracing only (the kernel is not reverse-mode
 differentiable); gradient work uses the XLA engine path.  Supported when
 every material is packed (absorber / mirror / glass — reference
 materials.py has no others; custom Python materials fall back to XLA).
@@ -26,10 +36,11 @@ materials.py has no others; custom Python materials fall back to XLA).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,9 +57,20 @@ from pyrayt_tpu.core.operations import (
 )
 from pyrayt_tpu.scene.compile import SceneSpec
 
-__all__ = ["supports_fused", "build_fused_trace_fn", "on_tpu"]
+__all__ = [
+    "supports_fused",
+    "build_fused_trace_fn",
+    "on_tpu",
+    "fused_block_rows",
+    "LANE",
+]
 
 _PACKED_KINDS = (matl.KIND_ABSORB, matl.KIND_MIRROR, matl.KIND_GLASS)
+
+LANE = 128  # TPU lane width: rays tile as (R, LANE)
+_SUBLANE = 8  # f32 sublane granularity
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of ~16 MB/core, leaving compiler slack
+_MAX_R = 64  # 8192 rays per block
 
 
 def on_tpu() -> bool:
@@ -67,6 +89,21 @@ def supports_fused(spec: SceneSpec) -> bool:
     )
 
 
+def fused_block_rays(config: TraceConfig, itemsize: int = 4):
+    """Rays per block — the largest (R x 128) tile whose VMEM working set
+    fits the budget — or ``None`` when even the minimum tile overflows
+    (huge generation_limit): callers must fall back to the XLA engine.
+
+    Per-ray bytes: in/out state (2 x 13 rows), records (G x 15), masks (G),
+    all double-buffered by the pipeline (x2), plus ~60 rows of loop-carry
+    and temporaries."""
+    g = config.generation_limit
+    per_ray = itemsize * (2 * (26 + 16 * g) + 60)
+    r = _VMEM_BUDGET_BYTES // (per_ray * LANE)
+    r = min(_MAX_R, (r // _SUBLANE) * _SUBLANE)
+    return int(r) if r >= _SUBLANE else None
+
+
 # ---------------------------------------------------------------------------
 # scalarized helpers (SMEM scalar reads -> broadcast VPU math; no tiny
 # matmuls, no gathers)
@@ -78,24 +115,29 @@ def _mat_rows(ref, s):
     return [[ref[s, 4 * i + j] for j in range(4)] for i in range(4)]
 
 
-def _apply44(m_rows, x):
-    """y_i = sum_j M[i][j] * x[j] for x (4, B) — scalar-broadcast FMAs."""
-    return jnp.stack(
-        [
-            m_rows[i][0] * x[0] + m_rows[i][1] * x[1] + m_rows[i][2] * x[2] + m_rows[i][3] * x[3]
-            for i in range(4)
-        ]
-    )
+def _apply_affine_point(m_rows, x3):
+    """Affine transform of xyz point rows (w = 1 implicit; the builders only
+    ever produce affine transforms — last row (0,0,0,1))."""
+    return [
+        m_rows[i][0] * x3[0] + m_rows[i][1] * x3[1] + m_rows[i][2] * x3[2] + m_rows[i][3]
+        for i in range(3)
+    ]
 
 
-def _apply44_transpose(m_rows, x):
+def _apply_linear_vec(m_rows, x3):
+    """Linear part only (w = 0: directions and normals ignore translation)."""
+    return [
+        m_rows[i][0] * x3[0] + m_rows[i][1] * x3[1] + m_rows[i][2] * x3[2]
+        for i in range(3)
+    ]
+
+
+def _apply_linear_transpose(m_rows, x3):
     """y_i = sum_j M[j][i] * x[j] (the normals' inverse-transpose path)."""
-    return jnp.stack(
-        [
-            m_rows[0][i] * x[0] + m_rows[1][i] * x[1] + m_rows[2][i] * x[2] + m_rows[3][i] * x[3]
-            for i in range(4)
-        ]
-    )
+    return [
+        m_rows[0][i] * x3[0] + m_rows[1][i] * x3[1] + m_rows[2][i] * x3[2]
+        for i in range(3)
+    ]
 
 
 def _leaf_intersect_scalar(type_code, local_rays, pr, s):
@@ -142,49 +184,225 @@ def _index_from_scalars(gr, slot, wavelength):
     return jnp.sqrt(n2)
 
 
+def _leaf_normal_raw3(type_code, pts3, pr, s):
+    """Unnormalized object-space normal as xyz rows.
+
+    The world normal is renormalized after the inverse-transpose transform,
+    and normalize(A @ normalize(n)) == normalize(A @ n), so per-primitive
+    normalization (sphere/cylinder/cube/paraboloid in core.primitives) is
+    redundant work here.  Directions match core.primitives.leaf_normal.
+    """
+    x, y, z = pts3
+    zeros = jnp.zeros_like(x)
+    ones = zeros + 1.0
+    if type_code == prim.SPHERE:
+        return [x, y, z]
+    if type_code == prim.PARABOLOID:
+        focus, height = pr[s, 0], pr[s, 1]
+        cap = jnp.isclose(z, height)
+        return [
+            jnp.where(cap, 0.0, x),
+            jnp.where(cap, 0.0, y),
+            jnp.where(cap, 1.0, zeros - 2 * focus),
+        ]
+    if type_code == prim.PLANE:
+        return [zeros, zeros, ones]
+    if type_code == prim.CUBE:
+        out = []
+        for a, c in enumerate((x, y, z)):
+            neg = jnp.isclose(c, pr[s, 2 * a])
+            pos = jnp.isclose(c, pr[s, 2 * a + 1])
+            out.append(jnp.where(pos, 1.0, jnp.where(neg, -1.0, 0.0)))
+        return out
+    if type_code == prim.CYLINDER:
+        capped = pr[s, 3] != 0
+        lo_cap = jnp.isclose(z, pr[s, 1]) & capped
+        hi_cap = jnp.isclose(z, pr[s, 2]) & capped
+        cap = lo_cap | hi_cap
+        return [
+            jnp.where(cap, 0.0, x),
+            jnp.where(cap, 0.0, y),
+            jnp.where(hi_cap, 1.0, jnp.where(lo_cap, -1.0, 0.0)),
+        ]
+    raise ValueError(f"unknown primitive type code {type_code}")
+
+
+# ---------------------------------------------------------------------------
+# interval CSG (the fast path)
+#
+# Every leaf intersector returns exactly one (entry, exit) interval per ray,
+# and every factory-built CSG tree combines a left subtree with a *leaf*
+# right child using intersect/difference.  On that shape, CSG is closed-form
+# interval arithmetic — a handful of min/max/where ops — instead of the
+# general merge-sort network (core.csg.csg_combine_with_ids), which costs
+# ~1000 element-ops/ray on a 3-leaf lens.  Trees with union nodes or
+# non-leaf right children fall back to the general engine path.
+# ---------------------------------------------------------------------------
+
+
+def tree_supports_intervals(tree) -> bool:
+    from pyrayt_tpu.scene.compile import LEAF
+
+    if tree[0] == LEAF:
+        return True
+    op_name, l_tree, r_tree = tree
+    return (
+        op_name in ("intersect", "difference")
+        and r_tree[0] == LEAF
+        and tree_supports_intervals(l_tree)
+    )
+
+
+def _interval_intersect(iv, b):
+    """[a0,a1] ∩ [b0,b1] with surface ids travelling on each endpoint."""
+    a0, a1, i0, i1 = iv
+    b0, b1, j0, j1 = b
+    lo = jnp.maximum(a0, b0)
+    hi = jnp.minimum(a1, b1)
+    lo_id = jnp.where(b0 > a0, j0, i0)
+    hi_id = jnp.where(b1 < a1, j1, i1)
+    empty = lo > hi
+    inf = jnp.asarray(jnp.inf, a0.dtype)
+    return (jnp.where(empty, inf, lo), jnp.where(empty, inf, hi), lo_id, hi_id)
+
+
+def _interval_difference(iv, b):
+    """[a0,a1] − [b0,b1] -> up to two intervals (the general convex case)."""
+    a0, a1, i0, i1 = iv
+    b0, b1, j0, j1 = b
+    inf = jnp.asarray(jnp.inf, a0.dtype)
+    # piece 1: [a0, min(a1, b0)] — the part before the subtracted solid
+    p1_hi = jnp.minimum(a1, b0)
+    p1_hi_id = jnp.where(b0 < a1, j0, i1)
+    e1 = a0 > p1_hi
+    p1 = (jnp.where(e1, inf, a0), jnp.where(e1, inf, p1_hi), i0, p1_hi_id)
+    # piece 2: [max(a0, b1), a1] — the part after it
+    p2_lo = jnp.maximum(a0, b1)
+    p2_lo_id = jnp.where(b1 > a0, j1, i0)
+    e2 = p2_lo > a1
+    p2 = (jnp.where(e2, inf, p2_lo), jnp.where(e2, inf, a1), p2_lo_id, i1)
+    return [p1, p2]
+
+
+def _eval_tree_intervals(tree, leaf_intervals):
+    """Evaluate a supports-intervals CSG tree to a list of id-carrying
+    intervals ``(lo, hi, lo_id, hi_id)``."""
+    from pyrayt_tpu.scene.compile import LEAF
+
+    if tree[0] == LEAF:
+        return [leaf_intervals[tree[1]]]
+    op_name, l_tree, r_tree = tree
+    left = _eval_tree_intervals(l_tree, leaf_intervals)
+    b = leaf_intervals[r_tree[1]]
+    if op_name == "intersect":
+        return [_interval_intersect(iv, b) for iv in left]
+    out = []
+    for iv in left:
+        out.extend(_interval_difference(iv, b))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
 
 def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
-    # local import: engine <-> fused_trace is intentionally one-way at
-    # runtime (engine dispatches here lazily); _eval_tree is pure jnp
+    # local import: engine <-> fused_trace is one-way at runtime (engine's
+    # trace_rays dispatches here); _eval_tree is pure jnp shared logic used
+    # by the general (non-interval) CSG fallback
     from pyrayt_tpu.tracer.engine import _eval_tree
 
-    def step(objtx_ref, prim_ref, glass_ref, carry):
-        """One generation on in-VMEM values (parity: engine._generation_step)."""
-        p_old, v_old, gen, inten, wav, ridx, rid, alive = carry
-        dtype = p_old.dtype
-        mats = [_mat_rows(objtx_ref, s) for s in range(spec.n_leaves)]
+    # leaves whose material never reads a normal (absorber zeroes the
+    # direction unconditionally) skip the whole normal pipeline
+    needs_normal = tuple(
+        spec.mat_kinds[slot] != matl.KIND_ABSORB for slot in spec.leaf_mat_slot
+    )
+    fast_tree = tuple(tree_supports_intervals(t) for t in spec.trees)
 
-        # PROPAGATE: leaf hits -> CSG trees -> nearest positive hit
+    def step(objtx_ref, prim_ref, glass_ref, carry):
+        """One generation on in-VMEM (R, 128) ray tiles
+        (parity: engine._generation_step).
+
+        Layout choices, all perf-motivated and output-preserving:
+        * positions/directions travel as xyz rows — the homogeneous w rows
+          are compile-time constants (1/0) and would cost real FMAs, since
+          transform entries are runtime SMEM scalars;
+        * ``alive`` travels as the float dtype — Mosaic cannot carry i1
+          vectors through scf.while;
+        * normals come from the already-transformed local rays
+          (local_hit = lo + t * ld; hit params are transform-invariant
+          because directions are not renormalized, same invariant the
+          reference relies on at world_objects.py:360-383).
+        """
+        p3, v3, gen, inten, wav, ridx, rid, alive_f = carry
+        alive = alive_f > 0.5
+        dtype = p3.dtype
+        shape = p3.shape[1:]
+        mats = [_mat_rows(objtx_ref, s) for s in range(spec.n_leaves)]
+        p_rows = [p3[0], p3[1], p3[2]]
+        v_rows = [v3[0], v3[1], v3[2]]
+
+        # PROPAGATE: per-leaf object-space rays -> one interval per leaf
+        local_o = []
+        local_d = []
         leaf_hits = []
         for s, t in enumerate(spec.leaf_types):
-            local = jnp.stack((_apply44(mats[s], p_old), _apply44(mats[s], v_old)))
-            leaf_hits.append(_leaf_intersect_scalar(t, local, prim_ref, s))
+            lo3 = _apply_affine_point(mats[s], p_rows)
+            ld3 = _apply_linear_vec(mats[s], v_rows)
+            local_o.append(lo3)
+            local_d.append(ld3)
+            local = jnp.stack((jnp.stack(lo3), jnp.stack(ld3)))
+            pair = _leaf_intersect_scalar(t, local, prim_ref, s)
+            leaf_hits.append(
+                jnp.stack((jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1])))
+            )
 
-        hit_distances = jnp.full_like(p_old[0], jnp.inf)
-        hit_leaf = jnp.full(p_old[0].shape, -1, dtype=jnp.int32)
-        for tree in spec.trees:
-            shape_hits, shape_ids = _eval_tree(tree, leaf_hits)
-            for row in range(shape_hits.shape[0]):
-                cand = jnp.where(shape_hits[row] > 0, shape_hits[row], jnp.inf)
-                new_min = cand < hit_distances
-                hit_distances = jnp.where(new_min, cand, hit_distances)
-                hit_leaf = jnp.where(new_min, shape_ids[row], hit_leaf)
+        # CSG + nearest positive hit
+        hit_distances = jnp.full(shape, jnp.inf, dtype)
+        hit_leaf = jnp.full(shape, -1, dtype=jnp.int32)
+
+        def fold(cand, ids):
+            nonlocal hit_distances, hit_leaf
+            cand = jnp.where(cand > 0, cand, jnp.inf)
+            new_min = cand < hit_distances
+            hit_distances = jnp.where(new_min, cand, hit_distances)
+            hit_leaf = jnp.where(new_min, ids, hit_leaf)
+
+        leaf_intervals = [
+            (
+                h[0],
+                h[1],
+                jnp.full(shape, s, jnp.int32),
+                jnp.full(shape, s, jnp.int32),
+            )
+            for s, h in enumerate(leaf_hits)
+        ]
+        for tree, fast in zip(spec.trees, fast_tree):
+            if fast:
+                for lo, hi, lo_id, hi_id in _eval_tree_intervals(tree, leaf_intervals):
+                    fold(lo, lo_id)
+                    fold(hi, hi_id)
+            else:
+                shape_hits, shape_ids = _eval_tree(tree, leaf_hits)
+                for row in range(shape_hits.shape[0]):
+                    fold(shape_hits[row], shape_ids[row])
         no_hit = hit_leaf < 0
 
         # advance to hit point
         t_safe = jnp.where(no_hit, 0.0, hit_distances)
-        p_hit = p_old + t_safe * v_old
+        p_hit = p3 + t_safe * v3
 
-        # world normals of the hit leaf (masked accumulation, gather-free)
+        # world normals of the hit leaf from the local rays (gather-free
+        # masked accumulation; absorber-only leaves skipped)
         normals = jnp.zeros_like(p_hit)
         for s, t in enumerate(spec.leaf_types):
-            local_p = _apply44(mats[s], p_hit)
-            ln = _leaf_normal_scalar(t, local_p, prim_ref, s)
-            wn = prim._zero_w(_apply44_transpose(mats[s], ln))
+            if not needs_normal[s]:
+                continue
+            local_hit = [o + t_safe * d for o, d in zip(local_o[s], local_d[s])]
+            ln3 = _leaf_normal_raw3(t, local_hit, prim_ref, s)
+            wn3 = _apply_linear_transpose(mats[s], ln3)
+            wn = jnp.stack(wn3)
             sq = _sum_rows(wn * wn)
             zero = sq == 0
             wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
@@ -196,19 +414,19 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
         for s, slot in enumerate(spec.leaf_mat_slot):
             ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
 
-        new_dir = jnp.where(no_hit, 0.0, v_old)
+        new_dir = jnp.where(no_hit, 0.0, v3)
         new_index = ridx
         new_inten = inten
         for slot, kind in enumerate(spec.mat_kinds):
             mask = (ray_slot == slot) & ~no_hit
             if kind == matl.KIND_ABSORB:
-                d2, i2, t2 = jnp.zeros_like(v_old), ridx, inten
+                d2, i2, t2 = jnp.zeros_like(v3), ridx, inten
             elif kind == matl.KIND_MIRROR:
-                d2, i2, t2 = reflect(v_old, normals), ridx, inten
+                d2, i2, t2 = reflect(v3, normals), ridx, inten
             else:  # KIND_GLASS
                 n2 = _index_from_scalars(glass_ref, slot, wav)
                 d2, i2 = refract(
-                    v_old, normals, ridx, n2, n_global=config.world_index
+                    v3, normals, ridx, n2, n_global=config.world_index
                 )
                 t2 = inten
             new_dir = jnp.where(mask, d2, new_dir)
@@ -216,67 +434,96 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
             new_inten = jnp.where(mask, t2, new_inten)
 
         # death rules (Q1: intensity test opt-in, as in the XLA engine)
-        absorbed = jnp.isclose(_norm_rows(v_old), 0)
+        absorbed = jnp.isclose(_norm_rows(v3), 0)
         dead = absorbed | no_hit
         if config.apply_intensity_threshold:
             dead = dead | (inten < config.intensity_threshold)
         living = alive & ~dead
 
         # RECORD block (parity: _RayTraceDataframe.insert, _pyrayt.py:168-186)
-        public_id = jnp.zeros_like(p_old[0])
+        public_id = jnp.zeros(shape, dtype)
         for s, leaf_id in enumerate(spec.leaf_ids):
             public_id = jnp.where(hit_leaf == s, jnp.asarray(leaf_id, dtype), public_id)
-        tilt = safe_normalize(v_old[:3], axis=0)
+        tilt = safe_normalize(v3, axis=0)
         record = jnp.concatenate(
             (
                 gen[None], inten[None], wav[None], ridx[None], rid[None],
                 public_id[None],
-                p_old[:3], p_hit[:3], tilt,
+                p3, p_hit, tilt,
             )
         )
 
         new_p = jnp.where(living, p_hit + config.ray_offset * new_dir, p_hit)
         new_gen = jnp.where(living, gen + 1, gen)
-        return (new_p, new_dir, new_gen, new_inten, wav, new_index, rid, living), record
+        # rays absorbed *this* generation (new_dir == 0) can never record
+        # again — dropping them from the carry now lets the while_loop exit
+        # one generation earlier with identical outputs (the skipped pass
+        # would only have re-derived dead = True for them)
+        will_die = _sum_rows(new_dir * new_dir) == 0
+        living_f = (living & ~will_die).astype(dtype)
+        mask_f = living.astype(dtype)
+        return (
+            (new_p, new_dir, new_gen, new_inten, wav, new_index, rid, living_f),
+            record,
+            mask_f,
+        )
 
     def kernel(state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref):
         state = state_ref[:]
-        carry = (
-            state[0:4],   # positions
-            state[4:8],   # directions
+        dtype = state.dtype
+        carry0 = (
+            state[0:3],   # positions xyz (w == 1 dropped)
+            state[4:7],   # directions xyz (w == 0 dropped)
             state[8],     # generation
             state[9],     # intensity
             state[10],    # wavelength
             state[11],    # index
             state[12],    # id
-            jnp.ones_like(state[8], dtype=bool),  # alive
+            jnp.ones_like(state[8]),  # alive (float mask; see step docstring)
         )
-        # unrolled generation loop: every bounce stays in VMEM/registers
-        for g in range(generations):
-            carry, record = step(objtx_ref, prim_ref, glass_ref, carry)
-            rec_ref[g] = record
-            mask_ref[g] = carry[-1].astype(state.dtype)
-        p, v, gen, inten, wav, ridx, rid, _ = carry
+        # outputs must be defined even for generations the early exit skips
+        rec_ref[:] = jnp.zeros_like(rec_ref)
+        mask_ref[:] = jnp.zeros_like(mask_ref)
+
+        def cond(loop_carry):
+            g = loop_carry[0]
+            alive_f = loop_carry[-1]
+            return (g < generations) & (jnp.max(alive_f) > 0.5)
+
+        def body(loop_carry):
+            g = loop_carry[0]
+            carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, loop_carry[1:])
+            rec_ref[pl.ds(g, 1)] = record[None]
+            mask_ref[pl.ds(g, 1)] = mask_f[None]
+            return (g + 1,) + carry
+
+        final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
+        _, p3, v3, gen, inten, wav, ridx, rid, _ = final
+        ones = jnp.ones_like(gen)
+        zeros = jnp.zeros_like(gen)
         fstate_ref[:] = jnp.concatenate(
-            (p, v, gen[None], inten[None], wav[None], ridx[None], rid[None])
+            (
+                p3, ones[None],       # homogeneous w restored
+                v3, zeros[None],
+                gen[None], inten[None], wav[None], ridx[None], rid[None],
+            )
         )
 
     return kernel
 
 
-def _block_rays(generations: int) -> int:
-    """Largest 128-multiple block whose record output fits ~3 MB of VMEM."""
-    budget = 3 * 1024 * 1024 // (generations * 15 * 4)
-    return max(128, min(2048, (budget // 128) * 128))
-
-
 @lru_cache(maxsize=64)
-def build_fused_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
+def build_fused_trace_fn(
+    spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False
+):
     """Build the fused-kernel trace: ``fn(params, rays) -> TraceResult``.
 
     Same contract as engine.build_trace_fn (records / record_mask /
     final_rays / generations_run), forward-only.  ``materials`` is accepted
-    for signature parity; all packed kinds are compiled from the glass table.
+    for signature parity; all packed kinds are compiled from the glass
+    table.  ``interpret=True`` runs the Pallas interpreter (test-only, for
+    bit-exact CPU parity checks); production dispatch happens in
+    engine.trace_rays, which routes non-TPU traces to the XLA engine.
     """
     from pyrayt_tpu.tracer.engine import N_RECORD_COLS, TraceResult
     from pyrayt_tpu.tracer.rayset import RaySet
@@ -285,14 +532,19 @@ def build_fused_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
         raise ValueError("scene has non-packed materials; use the XLA engine")
 
     generations = config.generation_limit
-    block = _block_rays(generations)
     kernel = _make_kernel(spec, config, generations)
-    interpret = not on_tpu()
 
     @jax.jit
     def trace(params, initial_rays: RaySet) -> TraceResult:
         n = initial_rays.n_rays
         dtype = initial_rays.positions.dtype
+        r_rows = fused_block_rays(config, jnp.dtype(dtype).itemsize)
+        if r_rows is None:
+            raise ValueError(
+                "generation_limit too large for the fused kernel's VMEM "
+                "budget; use the XLA engine"
+            )
+        block = r_rows * LANE
         n_pad = -(-n // block) * block
 
         state = jnp.concatenate(
@@ -305,6 +557,8 @@ def build_fused_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
         # zero-padding appends rays with zero direction: they die (absorbed)
         # in generation 0 and their mask rows are sliced off below
         state = jnp.pad(state, ((0, 0), (0, n_pad - n)))
+        # rays tile as (rows, 128) so vregs are fully dense (see module doc)
+        state = state.reshape(13, n_pad // LANE, LANE)
 
         obj_tx = affine_inverse(params["world"]).reshape(spec.n_leaves, 16)
         prim_p = params["prim"]
@@ -316,26 +570,34 @@ def build_fused_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
             kernel,
             grid=(n_pad // block,),
             in_specs=[
-                pl.BlockSpec((13, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (generations, N_RECORD_COLS, block),
-                    lambda i: (0, 0, i),
+                    (generations, N_RECORD_COLS, r_rows, LANE),
+                    lambda i: (0, 0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (generations, block), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (generations, r_rows, LANE),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((13, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((generations, N_RECORD_COLS, n_pad), dtype),
-                jax.ShapeDtypeStruct((generations, n_pad), dtype),
-                jax.ShapeDtypeStruct((13, n_pad), dtype),
+                jax.ShapeDtypeStruct(
+                    (generations, N_RECORD_COLS, n_pad // LANE, LANE), dtype
+                ),
+                jax.ShapeDtypeStruct((generations, n_pad // LANE, LANE), dtype),
+                jax.ShapeDtypeStruct((13, n_pad // LANE, LANE), dtype),
             ),
             interpret=interpret,
         )(
@@ -345,8 +607,9 @@ def build_fused_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
             glass.astype(dtype),
         )
 
-        records = records[:, :, :n]
-        masks = masks[:, :n] > 0.5
+        records = records.reshape(generations, N_RECORD_COLS, n_pad)[:, :, :n]
+        masks = masks.reshape(generations, n_pad)[:, :n] > 0.5
+        fstate = fstate.reshape(13, n_pad)
         final_rays = initial_rays.replace(
             positions=fstate[0:4, :n],
             directions=fstate[4:8, :n],

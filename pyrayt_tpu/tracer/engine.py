@@ -130,9 +130,15 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
     Gather-free: for each leaf (small static count) compute normals for all
     rays and select by the hit mask — dense VPU work instead of (n,4,4)
     gathers (parity: world_objects.py:401-418 inverse-transpose transform).
+    Leaves whose material is the absorber are skipped entirely: the
+    absorber zeroes ray directions without reading a normal.
     """
     normals = jnp.zeros_like(hit_points)
     for s, type_code in enumerate(spec.leaf_types):
+        if spec.mat_kinds[spec.leaf_mat_slot[s]] == matl.KIND_ABSORB and spec.mat_packed[
+            spec.leaf_mat_slot[s]
+        ]:
+            continue
         mask = hit_leaf == s
         local_points = obj_tx[s] @ hit_points
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
@@ -345,6 +351,32 @@ def build_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
 def trace_rays(
     scene: CompiledScene, initial_rays: RaySet, config: TraceConfig
 ) -> TraceResult:
-    """Trace an initial RaySet through a compiled scene."""
-    fn = build_trace_fn(scene.spec, scene.materials, config)
+    """Trace an initial RaySet through a compiled scene.
+
+    Forward-only dispatch: on TPU, scenes whose materials are all packed
+    (absorber/mirror/glass) run the fused Pallas kernel
+    (pyrayt_tpu/ops/fused_trace.py); everything else — CPU/GPU backends,
+    custom Python materials, VMEM-infeasible generation limits, or
+    ``config.use_fused=False`` — runs the XLA engine.  The backend check
+    happens here at call time, never baked into a cache.  Gradient users
+    compose with :func:`build_trace_fn` directly (the fused kernel is not
+    reverse-mode differentiable).
+    """
+    from pyrayt_tpu.ops import fused_trace as ft
+
+    use = config.use_fused
+    itemsize = jnp.dtype(initial_rays.positions.dtype).itemsize
+    feasible = (
+        ft.supports_fused(scene.spec)
+        and ft.fused_block_rays(config, itemsize) is not None
+    )
+    if use is True and not feasible:
+        raise ValueError(
+            "use_fused=True, but the scene has non-packed materials or the "
+            "generation_limit exceeds the fused kernel's VMEM budget"
+        )
+    if use is True or (use is None and feasible and ft.on_tpu()):
+        fn = ft.build_fused_trace_fn(scene.spec, scene.materials, config)
+    else:
+        fn = build_trace_fn(scene.spec, scene.materials, config)
     return fn(scene.params, initial_rays)

@@ -1,0 +1,196 @@
+"""North-star parity: trace the reference's named workloads in BOTH
+frameworks and assert the result DataFrames match (BASELINE.md).
+
+Workloads (the three named in BASELINE.md / VERDICT):
+
+* convex collimator — /root/reference/examples/convex_collimator.py:29-47
+  and int_test_ray_plane_intersection.py:42-54 (same system)
+* chromatic dispersion prism — /root/reference/examples/chromatic_dispersion.py:10-37
+* condenser tutorial — /root/reference/docs/source/tutorial.rst (biconvex
+  imaging system with a cone source)
+
+Comparison contract:
+
+* identical row count, generation-major row order aligned on
+  (generation, id);
+* all physical columns allclose at float32 resolution (both frames are
+  float32; the traces themselves run f64 here);
+* the ``surface`` column holds each framework's own global object ids, so
+  values differ by construction — instead the *mapping* ours->reference
+  must be a consistent bijection (same surface structure ray by ray).
+
+Documented deviations (SURVEY.md quirks): none affect these workloads —
+Q1 (inert intensity threshold) is reproduced by default, Q2 (biconvex
+radius bug) does not trigger because both workloads use r1 == r2.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyrayt_tpu
+from pyrayt_tpu import components as tcomp
+
+PHYSICAL_COLUMNS = [
+    "generation",
+    "intensity",
+    "wavelength",
+    "index",
+    "id",
+    "x0",
+    "y0",
+    "z0",
+    "x1",
+    "y1",
+    "z1",
+    "x_tilt",
+    "y_tilt",
+    "z_tilt",
+]
+
+
+def assert_frames_match(ours: pd.DataFrame, ref: pd.DataFrame, atol=1e-5):
+    assert len(ours) == len(ref), f"row counts differ: {len(ours)} vs {len(ref)}"
+    ours = ours.sort_values(["generation", "id"]).reset_index(drop=True)
+    ref = ref.sort_values(["generation", "id"]).reset_index(drop=True)
+
+    for col in PHYSICAL_COLUMNS:
+        np.testing.assert_allclose(
+            ours[col].to_numpy(dtype=np.float64),
+            ref[col].to_numpy(dtype=np.float64),
+            atol=atol,
+            rtol=1e-5,
+            err_msg=f"column {col!r} differs",
+        )
+
+    # surface ids: values are framework-local; the ray-by-ray correspondence
+    # must be a bijection
+    mapping = {}
+    reverse = {}
+    for mine, theirs in zip(ours["surface"], ref["surface"]):
+        assert mapping.setdefault(mine, theirs) == theirs, (
+            f"our surface {mine} maps to both {mapping[mine]} and {theirs}"
+        )
+        assert reverse.setdefault(theirs, mine) == mine, (
+            f"reference surface {theirs} maps to both {reverse[theirs]} and {mine}"
+        )
+
+
+class TestConvexCollimator:
+    """50-ray cone -> biconvex lens -> baffle; exactly 150 rows and
+    generation-2 rays collimated onto x = 1."""
+
+    def _ref_frame(self, reference):
+        lens = reference.components.biconvex_lens(2, 2, 0.25, aperture=1)
+        focus = pyrayt_tpu.lensmakers_equation(2, -2, 1.5, 0.25)
+        source = reference.components.ConeOfRays(cone_angle=6).move_x(-focus)
+        baffle = reference.components.baffle((1, 1)).move_x(1)
+        tracer = reference.RayTracer(source, [lens, baffle])
+        tracer.set_rays_per_source(50)
+        tracer.set_generation_limit(100)
+        return tracer.trace()
+
+    def _our_frame(self):
+        lens = tcomp.biconvex_lens(2, 2, 0.25, aperture=1)
+        focus = pyrayt_tpu.lensmakers_equation(2, -2, 1.5, 0.25)
+        source = tcomp.ConeOfRays(cone_angle=6).move_x(-focus)
+        baffle = tcomp.baffle((1, 1)).move_x(1)
+        tracer = pyrayt_tpu.RayTracer(
+            source, [lens, baffle], rays_per_source=50, generation_limit=100
+        )
+        return tracer.trace()
+
+    def test_frame_parity(self, reference):
+        ours = self._our_frame()
+        ref = self._ref_frame(reference)
+        assert len(ours) == 150
+        assert_frames_match(ours, ref)
+
+
+class TestChromaticDispersionPrism:
+    """11 single-ray monochromatic sources through a BK7 equilateral prism
+    onto a tilted baffle (examples/chromatic_dispersion.py)."""
+
+    @staticmethod
+    def _build(mod_components):
+        prism_size = 1
+        prism = mod_components.equilateral_prism(prism_size, prism_size)
+        prism.move_x(prism_size / 4)
+        baffle = mod_components.baffle((1, 1)).rotate_y(90).move(1, 0, -0.5)
+        sources = [
+            mod_components.LineOfRays(spacing=0.1, wavelength=x)
+            .move_x(-prism_size / 2)
+            .rotate_y(-3)
+            for x in np.linspace(0.44, 0.75, 11)
+        ]
+        return sources, [prism, baffle]
+
+    def test_frame_parity(self, reference):
+        sources, system = self._build(tcomp)
+        ours = pyrayt_tpu.RayTracer(sources, system, rays_per_source=1).trace()
+
+        ref_sources, ref_system = self._build(reference.components)
+        tracer = reference.RayTracer(ref_sources, ref_system)
+        tracer.set_rays_per_source(1)
+        ref = tracer.trace()
+
+        assert_frames_match(ours, ref)
+        # physics sanity: dispersion fans the wavelengths out along the
+        # tilted baffle (the final segments land at distinct x positions,
+        # ordered by wavelength)
+        final = ours[ours["generation"] == ours["generation"].max()]
+        by_wl = final.sort_values("wavelength")["x1"].to_numpy()
+        assert (np.diff(by_wl) > 0).all() or (np.diff(by_wl) < 0).all()
+
+
+class TestCondenserTutorial:
+    """The tutorial's condenser system: thick lens imaging a cone source
+    (docs/source/tutorial.rst); exercised here with the general thick_lens
+    factory on both sides."""
+
+    @staticmethod
+    def _build(mod_components, glass):
+        lens = mod_components.thick_lens(
+            r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=glass
+        )
+        detector = mod_components.baffle((1.0, 1.0)).move_x(1.0)
+        source = mod_components.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+        return source, [lens, detector]
+
+    def test_frame_parity(self, reference):
+        import pyrayt.materials as ref_matl
+
+        from pyrayt_tpu import materials as tmatl
+
+        source, system = self._build(tcomp, tmatl.glass["BK7"])
+        ours = pyrayt_tpu.RayTracer(
+            source, system, rays_per_source=40, generation_limit=20
+        ).trace()
+
+        ref_source, ref_system = self._build(
+            reference.components, ref_matl.glass["BK7"]
+        )
+        tracer = reference.RayTracer(
+            ref_source, ref_system, rays_per_source=40, generation_limit=20
+        )
+        ref = tracer.trace()
+
+        assert_frames_match(ours, ref)
+
+
+def test_frame_dtypes_and_columns(reference):
+    """Column names, order, and float32 dtype match the reference frame."""
+    lens = tcomp.biconvex_lens(2, 2, 0.25, aperture=1)
+    baffle = tcomp.baffle((1, 1)).move_x(1)
+    source = tcomp.ConeOfRays(cone_angle=6).move_x(-1.9)
+    ours = pyrayt_tpu.RayTracer(source, [lens, baffle], rays_per_source=5).trace()
+
+    ref_lens = reference.components.biconvex_lens(2, 2, 0.25, aperture=1)
+    ref_baffle = reference.components.baffle((1, 1)).move_x(1)
+    ref_source = reference.components.ConeOfRays(cone_angle=6).move_x(-1.9)
+    tracer = reference.RayTracer(ref_source, [ref_lens, ref_baffle])
+    tracer.set_rays_per_source(5)
+    ref = tracer.trace()
+
+    assert list(ours.columns) == list(ref.columns)
+    assert all(ours.dtypes == np.float32)
