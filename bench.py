@@ -2,17 +2,30 @@
 
 Runs the flagship condenser scene (cone source -> BK7 biconvex lens ->
 detector baffle, the reference tutorial's system) with 2**20 rays for a
-full bounce budget on whatever accelerator JAX finds (TPU under the
-driver; CPU works for smoke tests with PYRAYT_BENCH_RAYS set lower).
+6-bounce budget on whatever accelerator JAX finds (TPU under the driver;
+CPU works for smoke tests with PYRAYT_BENCH_RAYS set lower).
+
+Measurement methodology: the TPU here sits behind a relay with ~30 ms
+dispatch latency, so wall-clock around one call mostly measures the
+network.  The benchmark therefore chains K data-dependent traces inside a
+single dispatch (lax.fori_loop) and divides — that is device compute time.
+The end-to-end single-dispatch time is reported alongside.
 
 Prints ONE JSON line:
-    {"metric": "rays_per_second", "value": N, "unit": "rays/s",
-     "vs_baseline": ratio}
+    {"metric": "rays_per_second", "value": N, "unit": "rays/s", ...}
 
-The reference publishes no numbers (SURVEY.md §6), so ``vs_baseline`` is
-measured against PyRayT itself on this machine when available (cached in
-.baseline_cpu.json), else against the BASELINE.md north-star floor of
-100M rays/s/chip.
+Units (VERDICT round 1 asked for both, explicitly named):
+  * value / rays_per_second      — full traces completed x rays per trace
+                                   per second of device time (honest unit:
+                                   one 2**20-ray trace / device seconds)
+  * ray_generations_per_second   — rays x generation_limit per second (the
+                                   engine's unit of masked work; the round-1
+                                   headline unit)
+
+The reference publishes no numbers (SURVEY.md section 6), so
+``vs_baseline`` is measured against PyRayT itself on this machine's CPU
+(cached in .baseline_cpu.json), else against the BASELINE.md north-star
+floor of 100M rays/s/chip.  Both sides use full-trace rays/s.
 """
 
 from __future__ import annotations
@@ -22,11 +35,19 @@ import os
 import time
 
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it via the
+# config API (effective because no backend is initialized at import)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
+from jax import lax
 
 N_RAYS = int(os.environ.get("PYRAYT_BENCH_RAYS", 1 << 20))
 GENERATIONS = int(os.environ.get("PYRAYT_BENCH_GENERATIONS", 6))
-REPEATS = int(os.environ.get("PYRAYT_BENCH_REPEATS", 5))
+REPEATS = int(os.environ.get("PYRAYT_BENCH_REPEATS", 4))
+CHAIN = int(os.environ.get("PYRAYT_BENCH_CHAIN", 20))
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".baseline_cpu.json")
 
 
@@ -35,6 +56,7 @@ def build():
     from pyrayt_tpu import materials as matl
     from pyrayt_tpu.config import TraceConfig
     from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.ops import fused_trace as ft
     from pyrayt_tpu.tracer import engine
 
     lens = comp.thick_lens(
@@ -45,16 +67,24 @@ def build():
 
     scene = compile_scene([lens, detector])
     config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True)
-    fn = engine.build_trace_fn(scene.spec, scene.materials, config)
+    # same dispatch rule as engine.trace_rays: fused on TPU, XLA elsewhere
+    if ft.supports_fused(scene.spec) and ft.on_tpu():
+        fn = ft.build_fused_trace_fn(scene.spec, scene.materials, config)
+        engine_name = "fused-pallas"
+    else:
+        fn = engine.build_trace_fn(scene.spec, scene.materials, config)
+        engine_name = "xla"
     rays = source.generate_rays(N_RAYS)
-    return fn, scene.params, rays
+    return fn, scene.params, rays, engine_name
 
 
 def measure_reference_baseline() -> float:
-    """Reference PyRayT rays/s on this host's CPU (measured once, cached)."""
+    """Reference PyRayT full-trace rays/s on this host's CPU (cached)."""
     if os.path.exists(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
-            return json.load(f)["rays_per_second"]
+            cached = json.load(f)
+            if "full_trace_rays_per_second" in cached:
+                return cached["full_trace_rays_per_second"]
     import sys
 
     sys.path.insert(0, "/root/reference")
@@ -85,9 +115,18 @@ def measure_reference_baseline() -> float:
         t0 = time.perf_counter()
         tracer.trace()
         dt = time.perf_counter() - t0
-        rps = n_ref * GENERATIONS / dt
+        # full-trace basis: traces/s x rays per trace (one trace measured)
+        rps = n_ref / dt
         with open(_BASELINE_CACHE, "w") as f:
-            json.dump({"rays_per_second": rps, "n_rays": n_ref}, f)
+            json.dump(
+                {
+                    "full_trace_rays_per_second": rps,
+                    "n_rays": n_ref,
+                    "generations": GENERATIONS,
+                    "seconds": dt,
+                },
+                f,
+            )
         return rps
     except Exception:
         return float("nan")
@@ -96,25 +135,41 @@ def measure_reference_baseline() -> float:
 
 
 def main():
-    fn, params, rays = build()
-
     import numpy as np
 
+    fn, params, rays, engine_name = build()
+
+    # single-dispatch end-to-end (includes relay latency + one-element fetch)
     result = fn(params, rays)  # compile + warm
     jax.block_until_ready(result)
-    float(np.asarray(result.records[0, 0, 0]))  # drain the dispatch pipe
-
-    best = float("inf")
+    float(np.asarray(result.records[0, 0, 0]))
+    e2e = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         result = fn(params, rays)
-        # a host fetch of one element forces true completion — on the axon
-        # relay block_until_ready can return before the step has executed
         float(np.asarray(result.records[0, 0, 0]))
-        best = min(best, time.perf_counter() - t0)
+        e2e = min(e2e, time.perf_counter() - t0)
 
-    # throughput counts ray-generations processed (the engine's unit of work)
-    rays_per_second = N_RAYS * GENERATIONS / best
+    # device time: CHAIN data-dependent traces inside one dispatch
+    @jax.jit
+    def chained(params, rays0):
+        def body(i, acc):
+            r = fn(params, rays0.replace(positions=rays0.positions + i * 1e-30))
+            return acc + r.records[0, 0, 0] + r.final_rays.positions[0, 0]
+
+        return lax.fori_loop(0, CHAIN, body, jnp.asarray(0.0, rays0.positions.dtype))
+
+    out = chained(params, rays)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(params, rays)))
+        best = min(best, time.perf_counter() - t0)
+    device_per_trace = best / CHAIN
+
+    rays_per_second = N_RAYS / device_per_trace
+    ray_generations_per_second = N_RAYS * GENERATIONS / device_per_trace
 
     baseline = measure_reference_baseline()
     if baseline == baseline:  # not NaN
@@ -127,12 +182,94 @@ def main():
             {
                 "metric": "rays_per_second",
                 "value": round(rays_per_second),
-                "unit": "rays/s",
+                "unit": "rays/s (full 2**20-ray condenser trace / device time)",
                 "vs_baseline": round(vs, 3),
+                "ray_generations_per_second": round(ray_generations_per_second),
+                "device_ms_per_trace": round(device_per_trace * 1e3, 3),
+                "end_to_end_ms_single_dispatch": round(e2e * 1e3, 3),
+                "engine": engine_name,
+                "n_rays": N_RAYS,
+                "generation_limit": GENERATIONS,
+            }
+        )
+    )
+
+
+def scaling_main():
+    """Scaling-efficiency mode (PYRAYT_BENCH_MODE=scaling or --scaling).
+
+    Measures device-time rays/s of the sharded trace at 1..D devices and
+    reports efficiency = rps(D) / (D * rps(1)).  Rays never interact, so
+    the partitioned program has zero collectives and the ceiling is pure
+    DP.  Runs on real chips when a slice is attached; on this one-chip host
+    set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    to validate the path (numbers then measure the CPU, not TPU).
+    """
+    import numpy as np
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.parallel import (
+        build_sharded_trace_fn,
+        default_mesh,
+        initialize_distributed,
+        pad_rayset,
+        shard_rayset,
+    )
+    from pyrayt_tpu.scene.compile import compile_scene
+
+    initialize_distributed()  # no-op single-process; joins a pod if launched as one
+
+    lens = comp.thick_lens(
+        r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    detector = comp.baffle((1.0, 1.0)).move_x(1.0)
+    source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+    scene = compile_scene([lens, detector])
+    config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True)
+    n_rays = int(os.environ.get("PYRAYT_BENCH_RAYS", 1 << 18))
+    rays = source.generate_rays(n_rays)
+
+    n_devices = len(jax.devices())
+    counts = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
+    rps = {}
+    for n in counts:
+        mesh = default_mesh(n_devices=n, n_hosts=1)
+        fn = build_sharded_trace_fn(scene, config, mesh)
+        padded, _ = pad_rayset(rays, mesh.size)
+        placed = shard_rayset(padded, mesh)
+        result = fn(scene.params, placed)
+        jax.block_until_ready(result)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            result = fn(scene.params, placed)
+            jax.block_until_ready(result)
+            best = min(best, time.perf_counter() - t0)
+        rps[n] = n_rays / best
+
+    efficiency = rps[n_devices] / (n_devices * rps[1]) if n_devices > 1 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(efficiency, 4),
+                "unit": f"fraction of linear at {n_devices} devices",
+                "vs_baseline": round(efficiency / 0.85, 3),  # BASELINE.md >= 85%
+                "rays_per_second_by_devices": {
+                    str(n): round(v) for n, v in rps.items()
+                },
+                "platform": jax.devices()[0].platform,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if os.environ.get("PYRAYT_BENCH_MODE") == "scaling" or "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -11,6 +11,11 @@ from pyrayt_tpu.analysis.aberrations import (
     coma,
     spherical_aberration,
 )
+from pyrayt_tpu.analysis.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from pyrayt_tpu.analysis.gradcheck import check_gradients, finite_difference_grad
 from pyrayt_tpu.analysis.metrics import (
     COL,
@@ -28,6 +33,9 @@ __all__ = [
     "chromatic_aberration",
     "coma",
     "spherical_aberration",
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
     "check_gradients",
     "finite_difference_grad",
     "COL",

@@ -58,16 +58,45 @@ def optimize(
     steps: int = 100,
     optimizer=None,
     learning_rate: float = 1e-2,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> Tuple[object, List[float]]:
     """Minimize a differentiable objective with optax (default: adam).
 
+    With ``checkpoint_path`` set, the loop persists
+    ``(theta, optimizer state, step, loss history)`` every
+    ``checkpoint_every`` steps (and at the end) via
+    :mod:`pyrayt_tpu.analysis.checkpoint`, and transparently resumes from an
+    existing file — a killed-and-restarted run converges to the identical
+    result (the update rule is deterministic).
+
     Returns ``(theta_opt, loss_history)``.
     """
+    import numpy as np
     import optax
+
+    from pyrayt_tpu.analysis.checkpoint import restore_checkpoint, save_checkpoint
 
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(theta0)
+
+    theta = theta0
+    start = 0
+    history: List[float] = []
+    if checkpoint_path is not None:
+        template = {
+            "theta": theta0,
+            "opt_state": opt_state,
+            "step": 0,
+            "history": np.zeros(steps),
+        }
+        saved = restore_checkpoint(checkpoint_path, template)
+        if saved is not None:
+            theta = saved["theta"]
+            opt_state = saved["opt_state"]
+            start = int(saved["step"])
+            history = list(np.asarray(saved["history"])[:start])
 
     @jax.jit
     def step(theta, opt_state):
@@ -75,9 +104,19 @@ def optimize(
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         return optax.apply_updates(theta, updates), opt_state, loss
 
-    history: List[float] = []
-    theta = theta0
-    for _ in range(steps):
+    def _save(i):
+        padded = np.zeros(steps)
+        padded[: len(history)] = history
+        save_checkpoint(
+            checkpoint_path,
+            {"theta": theta, "opt_state": opt_state, "step": i, "history": padded},
+        )
+
+    for i in range(start, steps):
         theta, opt_state, loss = step(theta, opt_state)
         history.append(float(loss))
+        if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
+            _save(i + 1)
+    if checkpoint_path is not None and start < steps:
+        _save(steps)
     return theta, history

@@ -485,6 +485,17 @@ class Lamp(Source):
             seed = np.random.randint(0, 2**31 - 1)
         self._key = jax.random.PRNGKey(seed)
 
+    @property
+    def prng_key(self):
+        """The lamp's current PRNG key — save/restore it (e.g. through
+        pyrayt_tpu.analysis.checkpoint) for deterministic Monte-Carlo
+        replay of subsequent ``generate_rays`` calls."""
+        return self._key
+
+    @prng_key.setter
+    def prng_key(self, key):
+        self._key = jnp.asarray(key, dtype=jnp.uint32)
+
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub

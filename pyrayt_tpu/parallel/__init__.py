@@ -9,6 +9,7 @@ and the only cross-device communication is the psum of scalar metrics and
 parameter gradients.
 """
 
+from pyrayt_tpu.parallel.distributed import initialize_distributed, is_distributed
 from pyrayt_tpu.parallel.mesh import (
     RAY_AXES,
     default_mesh,
@@ -25,6 +26,8 @@ from pyrayt_tpu.parallel.trace import (
 __all__ = [
     "RAY_AXES",
     "default_mesh",
+    "initialize_distributed",
+    "is_distributed",
     "pad_rayset",
     "rayset_sharding",
     "shard_rayset",

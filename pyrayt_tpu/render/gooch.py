@@ -5,6 +5,12 @@ Behavioral parity with tinygfx/g3d/materials/gooch.py:9-82: per-pixel color
 lights.  Shading is viewport work over at most ~1M pixels with trivial
 math — it runs vectorized NumPy on host (keeping the TPU for the
 nearest-hit pass, which is the actual hot loop of rendering).
+
+Documented deviation: with more than one light the reference normalizes
+its light vectors against the wrong axis (gooch.py:50 divides an (L, 3, n)
+array by an (L, n) norm, which broadcasts incorrectly for L > 1); the
+renderers only ever pass a single light, where both implementations agree
+exactly.  This implementation normalizes per light.
 """
 
 from __future__ import annotations
@@ -54,36 +60,40 @@ class GoochMaterial(Material):
         ``normals``: (4, n) or (4,) unit surface normals;
         ``light_positions``: (4,) single light or (4, L) light array.
         Returns (4, n) RGBA.
+
+        Per the Gooch model: the warmth at a pixel is the mean over lights
+        of (1 + cos(light, normal)) / 2, and the pixel color interpolates
+        between two tones, each the warm/cool hue pulled toward the
+        surface's own color by alpha/beta.
         """
-        shade_warm = (1 - self.alpha) * np.asarray(
-            self.warm_color
-        ) + self.alpha * np.asarray(self.base_color)
-        shade_cool = (1 - self.beta) * np.asarray(
-            self.cool_color
-        ) + self.beta * np.asarray(self.base_color)
+        rays = np.atleast_3d(np.asarray(rays, dtype=float))
+        points = rays[0, :3]
+        unit_n = np.asarray(normals, dtype=float)
+        if unit_n.ndim == 1:
+            unit_n = unit_n[:, None]
+        unit_n = unit_n[:3]
 
-        rays = np.atleast_3d(np.asarray(rays))
-        normals = np.asarray(normals)
-        normals = normals[:3, np.newaxis] if normals.ndim == 1 else normals[:3]
-        light_positions = np.asarray(light_positions)
+        lights = np.asarray(light_positions, dtype=float)
+        if lights.ndim == 1:
+            lights = lights[:, None]
 
-        if light_positions.ndim == 1:
-            # (1, 3, n): one light vector per pixel
-            light_vectors = (light_positions[:3, np.newaxis] - rays[0, :3])[
-                np.newaxis, ...
-            ]
-        else:
-            # (L, 3, n)
-            light_vectors = light_positions[:3].T[:, :, np.newaxis] - rays[0, :3]
+        # accumulate cos(light, normal) light by light (viewport scenes have
+        # one or two lights; a Python loop keeps the memory footprint flat)
+        n_lights = lights.shape[1]
+        cos_total = np.zeros(points.shape[1])
+        for k in range(n_lights):
+            to_light = lights[:3, k : k + 1] - points
+            to_light /= np.linalg.norm(to_light, axis=0)
+            cos_total += np.sum(to_light * unit_n, axis=0)
+        warmth = 0.5 + cos_total / (2.0 * n_lights)
 
-        light_vectors = light_vectors / np.linalg.norm(light_vectors, axis=1)
-        light_normal_dot = np.einsum("ijk,jk->ik", light_vectors, normals)
-
-        mixture_ratio = 0.5 * (1 + light_normal_dot)
-        all_light_mixture = np.mean(mixture_ratio, axis=0)
-        return np.einsum("i,j->ij", shade_warm, all_light_mixture) + np.einsum(
-            "i,j->ij", shade_cool, 1 - all_light_mixture
+        warm_tone = np.asarray(self.warm_color) + self.alpha * (
+            np.asarray(self.base_color) - np.asarray(self.warm_color)
         )
+        cool_tone = np.asarray(self.cool_color) + self.beta * (
+            np.asarray(self.base_color) - np.asarray(self.cool_color)
+        )
+        return warm_tone[:, None] * warmth + cool_tone[:, None] * (1.0 - warmth)
 
 
 def _blue_yellow_gooch(base_color):

@@ -12,77 +12,48 @@ import numpy as np
 __all__ = ["wavelength_to_rgb", "lensmakers_equation"]
 
 
+# The Bruton visible-spectrum approximation as a zone table.  Each zone is
+# (lo_um, hi_um, (r, g, b), edge) where a channel spec is 0, 1, "up"
+# (linear ramp across the zone) or "down" (reverse ramp); ``edge`` marks the
+# spectrum ends, which fade to 30% brightness.
+_SPECTRUM_ZONES = (
+    (0.380, 0.440, ("down", 0, 1), "lo"),
+    (0.440, 0.490, (0, "up", 1), None),
+    (0.490, 0.510, (0, 1, "down"), None),
+    (0.510, 0.580, ("up", 1, 0), None),
+    (0.580, 0.645, (1, "down", 0), None),
+    (0.645, 0.750, (1, 0, 0), "hi"),
+)
+
+
 def wavelength_to_rgb(wavelength, gamma=0.8) -> np.ndarray:
-    """Piecewise-linear visible-spectrum (0.38-0.75 um) to RGB with gamma.
+    """Visible-spectrum (0.38-0.75 um) wavelengths to gamma-corrected RGB.
 
-    Returns an (n, 3) array; out-of-range wavelengths clip to the limits
-    (parity: pyrayt/utils.py:5-102, six spectral zones).
+    Table-driven piecewise-linear spectrum approximation (same zones and
+    output as pyrayt/utils.py:5-102); out-of-range wavelengths take the
+    nearest band-edge color.  Returns an (n, 3) array.
     """
-    wavelength = np.atleast_1d(np.asarray(wavelength, dtype=float))
-    color = np.empty((3, wavelength.shape[0]))
+    wl = np.atleast_1d(np.asarray(wavelength, dtype=float))
+    band = np.clip(wl, _SPECTRUM_ZONES[0][0], _SPECTRUM_ZONES[-1][1])
+    rgb = np.zeros((wl.shape[0], 3))
 
-    # 380 -> 440 nm (violet, attenuated toward the UV edge)
-    zone_min, zone_max = 0.38, 0.44
-    clipped = np.maximum(wavelength, zone_min)
-    attenuation = 0.3 + 0.7 * (clipped - zone_min) / (zone_max - zone_min)
-    red = np.abs(-(clipped - zone_max) / (zone_max - zone_min) * attenuation) ** gamma
-    green = np.zeros_like(wavelength)
-    blue = np.abs(1.0 * attenuation) ** gamma
-    color = np.where(wavelength < zone_max, np.vstack((red, green, blue)), color)
-
-    # 440 -> 490 nm
-    zone_min, zone_max = 0.44, 0.49
-    zone = np.vstack(
-        (
-            np.zeros_like(wavelength),
-            np.abs((wavelength - zone_min) / (zone_max - zone_min)) ** gamma,
-            np.ones_like(wavelength),
-        )
-    )
-    color = np.where((wavelength >= zone_min) & (wavelength < zone_max), zone, color)
-
-    # 490 -> 510 nm
-    zone_min, zone_max = 0.49, 0.51
-    zone = np.vstack(
-        (
-            np.zeros_like(wavelength),
-            np.ones_like(wavelength),
-            np.abs((zone_max - wavelength) / (zone_max - zone_min)) ** gamma,
-        )
-    )
-    color = np.where((wavelength >= zone_min) & (wavelength < zone_max), zone, color)
-
-    # 510 -> 580 nm
-    zone_min, zone_max = 0.51, 0.58
-    zone = np.vstack(
-        (
-            np.abs((wavelength - zone_min) / (zone_max - zone_min)) ** gamma,
-            np.ones_like(wavelength),
-            np.zeros_like(wavelength),
-        )
-    )
-    color = np.where((wavelength >= zone_min) & (wavelength < zone_max), zone, color)
-
-    # 580 -> 645 nm
-    zone_min, zone_max = 0.58, 0.645
-    zone = np.vstack(
-        (
-            np.ones_like(wavelength),
-            np.abs((zone_max - wavelength) / (zone_max - zone_min)) ** gamma,
-            np.zeros_like(wavelength),
-        )
-    )
-    color = np.where((wavelength >= zone_min) & (wavelength < zone_max), zone, color)
-
-    # >= 645 nm (red, attenuated toward the IR edge)
-    zone_min, zone_max = 0.645, 0.75
-    clipped = np.minimum(wavelength, zone_max)
-    attenuation = 0.3 + 0.7 * (zone_max - clipped) / (zone_max - zone_min)
-    zone = np.zeros((3, wavelength.shape[0]))
-    zone[0] = np.abs(attenuation) ** gamma
-    color = np.where(wavelength >= zone_min, zone, color)
-
-    return color.T
+    for lo, hi, channels, edge in _SPECTRUM_ZONES:
+        last = hi == _SPECTRUM_ZONES[-1][1]
+        in_zone = (band >= lo) & ((band <= hi) if last else (band < hi))
+        ramp = (band - lo) / (hi - lo)
+        if edge == "lo":
+            brightness = 0.3 + 0.7 * ramp
+        elif edge == "hi":
+            brightness = 1.0 - 0.7 * ramp
+        else:
+            brightness = np.ones_like(ramp)
+        for c, spec in enumerate(channels):
+            level = {0: 0.0, 1: 1.0, "up": ramp, "down": 1.0 - ramp}[spec]
+            # clamp at 0: float rounding can put a ramp 1 ulp outside [0, 1],
+            # and a negative base under a fractional power warns/NaNs
+            value = np.maximum(level * brightness, 0.0) ** gamma
+            rgb[:, c] = np.where(in_zone, value, rgb[:, c])
+    return rgb
 
 
 def lensmakers_equation(r1: float, r2: float, n_lens: float, thickness: float) -> float:
