@@ -171,6 +171,15 @@ def main():
     rays_per_second = N_RAYS / device_per_trace
     ray_generations_per_second = N_RAYS * GENERATIONS / device_per_trace
 
+    # rough compute-efficiency estimate: the condenser generation step is
+    # ~1300 element-ops/ray (counted from the jaxpr; see git history of the
+    # fused-kernel work) and ~3 generations carry live rays before the
+    # early exit — against a nominal ~4 Tops/s f32 VPU on v5e
+    LIVE_GENERATIONS = 3
+    OPS_PER_RAY_GEN = 1300
+    effective_tops = OPS_PER_RAY_GEN * LIVE_GENERATIONS * N_RAYS / device_per_trace / 1e12
+    vpu_utilization = effective_tops / 4.0
+
     baseline = measure_reference_baseline()
     if baseline == baseline:  # not NaN
         vs = rays_per_second / baseline
@@ -187,6 +196,8 @@ def main():
                 "ray_generations_per_second": round(ray_generations_per_second),
                 "device_ms_per_trace": round(device_per_trace * 1e3, 3),
                 "end_to_end_ms_single_dispatch": round(e2e * 1e3, 3),
+                "estimated_effective_tops": round(effective_tops, 3),
+                "estimated_vpu_utilization": round(vpu_utilization, 3),
                 "engine": engine_name,
                 "n_rays": N_RAYS,
                 "generation_limit": GENERATIONS,

@@ -1,0 +1,181 @@
+"""Achromatic doublet design with analytic gradients.
+
+Script reproduction of the reference's lens-design notebook
+(/root/reference/examples/lens_design.ipynb, cells 4-36): design a 50 mm
+f/2.4 imaging system, quantify the singlet's spherical + chromatic
+aberration, split the power across a BK7/SF2 achromatic doublet by Abbe
+number, then optimize the doublet radii against a trace-derived focus
+loss.
+
+Where the notebook drives scipy.optimize (finite differences: a full
+re-trace per parameter per iteration), this version expresses the same
+objective as one differentiable JAX program — rebuild scene from radii,
+trace rays spanning both the aperture (spherical) and the spectrum
+(chromatic), penalize focus error — and descends its analytic gradient
+(pyrayt_tpu.analysis.optimize).  Surface convexities are held fixed by
+optimizing log-magnitudes (the CSG structure is static; see thick_lens).
+
+Run:  python examples/lens_design.py [--steps N] [--show]
+"""
+
+import os
+import sys
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyrayt_tpu as pyrayt
+import pyrayt_tpu.materials as matl
+from pyrayt_tpu import components
+from pyrayt_tpu.analysis import (
+    build_objective,
+    chromatic_aberration,
+    focus_error,
+    optimize,
+    spherical_aberration,
+)
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.tracer.rayset import concatenate
+
+# --- system constants (notebook cell 4; all spatial units mm) --------------
+LENS_DIAMETER = 25.4
+LENS_THICKNESS = 5.0
+SYSTEM_FOCUS = 50.0
+P_SYS = 1 / SYSTEM_FOCUS
+
+MATL1 = matl.glass["BK7"]
+MATL2 = matl.glass["SF2"]
+L1_THICKNESS = 8.0
+L2_THICKNESS = 2.0
+
+
+def singlet():
+    """The starting design: one BK7 biconvex lens (cell 6)."""
+    lens_radius = 2 * (float(MATL1.index_at(0.532)) - 1) / P_SYS
+    return components.thick_lens(
+        r1=lens_radius,
+        r2=-lens_radius,
+        thickness=LENS_THICKNESS,
+        aperture=LENS_DIAMETER,
+        material=MATL1,
+    )
+
+
+def imager():
+    return components.baffle((LENS_DIAMETER, LENS_DIAMETER)).move_x(SYSTEM_FOCUS)
+
+
+def doublet_radii_initial():
+    """Power split by Abbe number for first-order achromatism (cell 25):
+    the crown element carries p1 = P v1/(v1-v2), the flint cancels its
+    dispersion with p2 = P v2/(v2-v1) < 0."""
+    v1, v2 = MATL1.abbe(), MATL2.abbe()
+    p1 = P_SYS * v1 / (v1 - v2)
+    p2 = P_SYS * v2 / (v2 - v1)
+    n1 = float(MATL1.index_at(0.633))
+    n2 = float(MATL2.index_at(0.633))
+    # symmetric thick-lens radius giving the crown its power (cell 24)
+    r1 = (n1 - 1) * (1 + np.sqrt(1 - p1 * L1_THICKNESS / n1)) / p1
+    r2 = -r1
+    # flint: front surface cemented to r2; thin-lens solve of the rear
+    # surface for the remaining (negative) power
+    r4 = 1.0 / (1.0 / r2 - p2 / (n2 - 1))
+    return np.array([r1, r2, r2, r4])
+
+
+def build_doublet(radii):
+    """Doublet from 4 radii; signs are static (+,-,-,-), magnitudes free."""
+    l1 = components.thick_lens(
+        radii[0], radii[1], L1_THICKNESS,
+        aperture=LENS_DIAMETER, material=MATL1, r1_sign=1, r2_sign=-1,
+    )
+    l2 = components.thick_lens(
+        radii[2], radii[3], L2_THICKNESS,
+        aperture=LENS_DIAMETER, material=MATL2, r1_sign=-1, r2_sign=-1,
+    ).move_x(1.01 * (L1_THICKNESS + L2_THICKNESS) / 2)
+    return [l1, l2, imager()]
+
+
+def design_rays(n_radii=10, wavelengths=(0.45, 0.5, 0.55, 0.6, 0.65, 0.7)):
+    """Rays spanning the aperture AND the spectrum: one trace measures both
+    spherical and chromatic focus error (the notebook runs two separate
+    analyses per objective evaluation, cells 28/32)."""
+    sets = []
+    for wl in wavelengths:
+        src = (
+            components.LineOfRays(0.45 * LENS_DIAMETER / 2, wavelength=wl)
+            .move_x(-10.0)
+            .move_y(LENS_DIAMETER / 8)
+        )
+        sets.append(src.generate_rays(n_radii))
+    rays = concatenate(sets)
+    return rays.replace(id=jnp.arange(rays.n_rays, dtype=rays.positions.dtype))
+
+
+def main(steps: int = 300, show: bool = False) -> None:
+    lens = singlet()
+    system = [lens, imager()]
+
+    sphere = spherical_aberration(system, -10.0, LENS_DIAMETER / 4, 11)
+    chroma = chromatic_aberration(
+        system, -10.0, LENS_DIAMETER / 4, np.linspace(0.45, 0.7, 11)
+    )
+    print("singlet:")
+    print(f"  spherical focus spread: {np.ptp(sphere['focus']):8.4f} mm")
+    print(f"  chromatic focus spread: {np.ptp(chroma['focus']):8.4f} mm")
+
+    # --- doublet + gradient optimization (notebook cells 25-33) -----------
+    r0 = doublet_radii_initial()
+    signs = np.sign(r0)
+    rays = design_rays()
+    config = TraceConfig(generation_limit=8, fixed_loop=True)
+
+    def build(log_mags):
+        radii = jnp.asarray(signs) * jnp.exp(log_mags)
+        return build_doublet(radii)
+
+    objective = build_objective(
+        build, rays, lambda result: focus_error(result, SYSTEM_FOCUS), config
+    )
+
+    theta0 = jnp.log(jnp.abs(jnp.asarray(r0)))
+    loss0 = float(objective(theta0))
+    theta, history = optimize(objective, theta0, steps=steps, learning_rate=2e-2)
+    radii_opt = signs * np.exp(np.asarray(theta))
+
+    print("doublet:")
+    print(f"  initial radii: {np.round(r0, 3)}  (focus MSE {loss0:.5f})")
+    print(f"  optimized    : {np.round(radii_opt, 3)}  (focus MSE {history[-1]:.5f})")
+
+    system_opt = build_doublet(radii_opt)
+    sphere_d = spherical_aberration(system_opt, -10.0, LENS_DIAMETER / 4, 11)
+    chroma_d = chromatic_aberration(
+        system_opt, -10.0, LENS_DIAMETER / 4, np.linspace(0.45, 0.7, 11)
+    )
+    print(f"  spherical focus spread: {np.ptp(sphere_d['focus']):8.4f} mm")
+    print(f"  chromatic focus spread: {np.ptp(chroma_d['focus']):8.4f} mm")
+    print(
+        "chromatic aberration reduced:",
+        bool(np.ptp(chroma_d["focus"]) < np.ptp(chroma["focus"])),
+    )
+
+    if show:
+        tracer = pyrayt.RayTracer(
+            components.LineOfRays(0.5 * LENS_DIAMETER).move_x(-10.0),
+            system_opt,
+            rays_per_source=5,
+        )
+        tracer.trace()
+        tracer.show(ray_width=0.1)
+
+
+if __name__ == "__main__":
+    steps = 300
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    main(steps=steps, show="--show" in sys.argv)

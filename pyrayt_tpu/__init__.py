@@ -17,6 +17,14 @@ Public namespace parity with ``pyrayt``:
 """
 
 from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.core.homogeneous import (
+    HomogeneousCoordinate,
+    Point,
+    Ray,
+    Vector,
+    bundle_of_rays,
+    bundle_rays,
+)
 from pyrayt_tpu.tracer.rayset import RaySet
 from pyrayt_tpu.tracer.tracer import RayTracer, pin
 from pyrayt_tpu import components, materials, utils
@@ -29,6 +37,12 @@ __all__ = [
     "RaySet",
     "pin",
     "TraceConfig",
+    "HomogeneousCoordinate",
+    "Point",
+    "Vector",
+    "Ray",
+    "bundle_of_rays",
+    "bundle_rays",
     "components",
     "materials",
     "utils",

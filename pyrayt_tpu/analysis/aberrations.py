@@ -16,8 +16,20 @@ __all__ = ["spherical_aberration", "chromatic_aberration", "coma"]
 
 
 def _imager_rays(results: pd.DataFrame) -> pd.DataFrame:
-    """Rays' final segments (notebook: generation == max(generation))."""
-    return results.loc[results["generation"] == np.max(results["generation"])]
+    """Each ray's final recorded segment, restricted to the most common
+    final surface (the imager).
+
+    The notebook filters on ``generation == max(generation)`` (cell 12),
+    which assumes every ray takes the same number of bounces; a single
+    edge-grazing ray with one extra bounce (routine at float32) would then
+    silently become the whole analysis.  Selecting per-ray final segments
+    on the modal surface keeps the intent and is robust to path-length
+    differences.
+    """
+    idx = results.groupby("id")["generation"].idxmax()
+    final = results.loc[idx]
+    imager_surface = final["surface"].mode().iloc[0]
+    return final.loc[final["surface"] == imager_surface]
 
 
 def _axis_intercept(rays: pd.DataFrame) -> np.ndarray:

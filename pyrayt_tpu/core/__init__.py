@@ -10,4 +10,12 @@ from pyrayt_tpu.core.operations import (
     smallest_positive_root,
 )
 from pyrayt_tpu.core.csg import Operation, array_csg, csg_combine_with_ids
+from pyrayt_tpu.core.homogeneous import (
+    HomogeneousCoordinate,
+    Point,
+    Ray,
+    Vector,
+    bundle_of_rays,
+    bundle_rays,
+)
 from pyrayt_tpu.core import primitives

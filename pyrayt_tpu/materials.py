@@ -93,7 +93,43 @@ class TracableMaterial(abc.ABC):
         return jnp.zeros(N_GLASS_COEFFS)
 
 
-class _AbsorbingMaterial(TracableMaterial):
+def _as_float(value) -> float:
+    try:
+        return float(value)
+    except Exception as exc:  # a traced value has no concrete float
+        raise TypeError(f"non-concrete material value: {exc}") from None
+
+
+class _ValueIdentity:
+    """Equality/hash by physical value, not object identity.
+
+    engine.build_trace_fn caches compiled traces keyed on the material
+    tuple; a scene rebuilt each optimization step creates fresh material
+    instances, which under identity semantics would silently recompile
+    every step.  Built-in materials are fully described by their class and
+    dispersion values, so they compare by value; traced (non-concrete)
+    values fall back to identity.
+    """
+
+    def _value_key(self):
+        return ()
+
+    def __eq__(self, other):
+        if type(other) is not type(self):
+            return NotImplemented
+        try:
+            return self._value_key() == other._value_key()
+        except TypeError:
+            return self is other
+
+    def __hash__(self):
+        try:
+            return hash((type(self),) + self._value_key())
+        except TypeError:
+            return object.__hash__(self)
+
+
+class _AbsorbingMaterial(_ValueIdentity, TracableMaterial):
     """Ideal absorber: zeroes the direction vector, which the tracer reads
     as a dead ray (parity: pyrayt/materials.py:40-50)."""
 
@@ -107,7 +143,7 @@ class _AbsorbingMaterial(TracableMaterial):
         return jnp.zeros_like(directions), index, intensity
 
 
-class _ReflectingMaterial(TracableMaterial):
+class _ReflectingMaterial(_ValueIdentity, TracableMaterial):
     """Ideal mirror (parity: pyrayt/materials.py:53-62)."""
 
     kind = KIND_MIRROR
@@ -151,11 +187,14 @@ class Glass(TracableMaterial):
         """Refractive index at ``wavelength`` (microns); shape-preserving."""
 
 
-class BasicRefractor(Glass):
+class BasicRefractor(_ValueIdentity, Glass):
     def __init__(self, refractive_index: float, *args, **kwargs):
         """Non-dispersive glass with a constant refractive index."""
         self._refractive_index = refractive_index
         super().__init__()
+
+    def _value_key(self):
+        return (_as_float(self._refractive_index),)
 
     def index_at(self, wavelength: Union[float, jnp.ndarray]):
         wavelength = jnp.asarray(wavelength)
@@ -168,13 +207,19 @@ class BasicRefractor(Glass):
         return jnp.zeros(N_GLASS_COEFFS).at[0].set(n**2)
 
 
-class SellmeierRefractor(Glass):
+class SellmeierRefractor(_ValueIdentity, Glass):
     def __init__(self, b1=0, b2=0, b3=0, c1=0, c2=0, c3=0):
         """Dispersive glass following the Sellmeier equation
         (coefficients as found at refractiveindex.info)."""
         self.b1, self.b2, self.b3 = b1, b2, b3
         self.c1, self.c2, self.c3 = c1, c2, c3
         super().__init__()
+
+    def _value_key(self):
+        return tuple(
+            _as_float(v)
+            for v in (self.b1, self.b2, self.b3, self.c1, self.c2, self.c3)
+        )
 
     def index_at(self, wavelength):
         wl2 = jnp.asarray(wavelength) ** 2

@@ -105,11 +105,14 @@ def compile_scene(components, require_materials: bool = True) -> CompiledScene:
                     "engine needs a pure_trace implementation"
                 )
             material = matl.absorber
-        key = id(material)
-        if key not in mat_slot_of:
-            mat_slot_of[key] = len(materials)
+        # built-in materials hash/compare by value (materials._ValueIdentity),
+        # so rebuilt-but-identical glasses share a slot — and identical
+        # scenes produce identical material tuples, keeping the engine's
+        # compile cache warm across rebuilds
+        if material not in mat_slot_of:
+            mat_slot_of[material] = len(materials)
             materials.append(material)
-        return mat_slot_of[key]
+        return mat_slot_of[material]
 
     def _walk(obj):
         if isinstance(obj, CSGSurface):

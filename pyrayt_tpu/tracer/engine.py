@@ -212,33 +212,37 @@ def _generation_step(spec, materials, config, params, state):
     v_old = rays_state.directions
     rays = jnp.stack((p_old, v_old))
 
-    hit_distances, hit_leaf, obj_tx = scene_nearest_hit(spec, params, rays)
-    no_hit = hit_leaf < 0
+    # named scopes label the HLO for XProf / jax.profiler traces
+    with jax.named_scope("propagate"):
+        hit_distances, hit_leaf, obj_tx = scene_nearest_hit(spec, params, rays)
+        no_hit = hit_leaf < 0
 
-    # advance to the hit point (no-hit rays stay put; _pyrayt.py:404-407)
-    t_safe = jnp.where(no_hit, 0.0, hit_distances)
-    p_hit = p_old + t_safe * v_old
+        # advance to the hit point (no-hit rays stay put; _pyrayt.py:404-407)
+        t_safe = jnp.where(no_hit, 0.0, hit_distances)
+        p_hit = p_old + t_safe * v_old
 
-    normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
+    with jax.named_scope("normals"):
+        normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
 
     # leaf -> material-slot table lookup as a where-fold (static tiny table;
     # avoids an (n,) gather which TPU lowers poorly)
-    ray_slot = jnp.zeros_like(hit_leaf)
-    for s, slot in enumerate(spec.leaf_mat_slot):
-        ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
-    new_dir, new_index, new_intensity = _apply_materials(
-        spec,
-        materials,
-        params,
-        config,
-        ray_slot,
-        no_hit,
-        v_old,
-        normals,
-        rays_state.wavelength,
-        rays_state.index,
-        rays_state.intensity,
-    )
+    with jax.named_scope("interact"):
+        ray_slot = jnp.zeros_like(hit_leaf)
+        for s, slot in enumerate(spec.leaf_mat_slot):
+            ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
+        new_dir, new_index, new_intensity = _apply_materials(
+            spec,
+            materials,
+            params,
+            config,
+            ray_slot,
+            no_hit,
+            v_old,
+            normals,
+            rays_state.wavelength,
+            rays_state.index,
+            rays_state.intensity,
+        )
 
     # death rules (parity incl. quirk Q1: the intensity test is opt-in)
     absorbed = jnp.isclose(_norm_rows(v_old), 0)

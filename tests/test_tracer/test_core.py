@@ -167,3 +167,46 @@ class TestPin:
             b.move_z(-2)
         assert np.allclose(np.asarray(a.get_position()), [0, 0, 0, 1], atol=1e-9)
         assert np.allclose(np.asarray(b.get_position()), [0, 0, 0, 1], atol=1e-9)
+
+
+class TestEngineCacheStability:
+    """Rebuilding an identical scene must reuse the compiled trace
+    (VERDICT round 1, weak #8: identity-keyed material hashing caused
+    silent recompiles on every scene rebuild)."""
+
+    def test_rebuilt_scene_hits_compile_cache(self):
+        import pyrayt_tpu.materials as matl
+        from pyrayt_tpu import components
+        from pyrayt_tpu.config import TraceConfig
+        from pyrayt_tpu.scene.compile import compile_scene
+        from pyrayt_tpu.scene.objects import fresh_ids
+        from pyrayt_tpu.tracer import engine
+
+        def build():
+            with fresh_ids():
+                # fresh material instances each time, equal by value
+                glass = matl.SellmeierRefractor(1.0, 0.2, 1.0, 6e-3, 2e-2, 103.0)
+                lens = components.thick_lens(1.0, -1.0, 0.25, aperture=0.5, material=glass)
+                det = components.baffle((1.0, 1.0)).move_x(1.0)
+                return compile_scene([lens, det])
+
+        config = TraceConfig(generation_limit=3, fixed_loop=True)
+        s1 = build()
+        s2 = build()
+        assert s1.spec == s2.spec
+        assert s1.materials == s2.materials
+        fn1 = engine.build_trace_fn(s1.spec, s1.materials, config)
+        fn2 = engine.build_trace_fn(s2.spec, s2.materials, config)
+        assert fn1 is fn2
+
+    def test_different_glass_misses_cache(self):
+        import pyrayt_tpu.materials as matl
+
+        a = matl.SellmeierRefractor(1.0, 0.2, 1.0, 6e-3, 2e-2, 103.0)
+        b = matl.SellmeierRefractor(1.1, 0.2, 1.0, 6e-3, 2e-2, 103.0)
+        assert a != b and hash(a) != hash(b)
+        assert a == matl.SellmeierRefractor(1.0, 0.2, 1.0, 6e-3, 2e-2, 103.0)
+        assert matl.absorber == matl._AbsorbingMaterial()
+        assert matl.mirror == matl._ReflectingMaterial()
+        assert matl.BasicRefractor(1.5) == matl.BasicRefractor(1.5)
+        assert matl.BasicRefractor(1.5) != matl.BasicRefractor(1.6)
