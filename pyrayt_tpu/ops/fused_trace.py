@@ -227,79 +227,13 @@ def _leaf_normal_raw3(type_code, pts3, pr, s):
     raise ValueError(f"unknown primitive type code {type_code}")
 
 
-# ---------------------------------------------------------------------------
-# interval CSG (the fast path)
-#
-# Every leaf intersector returns exactly one (entry, exit) interval per ray,
-# and every factory-built CSG tree combines a left subtree with a *leaf*
-# right child using intersect/difference.  On that shape, CSG is closed-form
-# interval arithmetic — a handful of min/max/where ops — instead of the
-# general merge-sort network (core.csg.csg_combine_with_ids), which costs
-# ~1000 element-ops/ray on a 3-leaf lens.  Trees with union nodes or
-# non-leaf right children fall back to the general engine path.
-# ---------------------------------------------------------------------------
-
-
-def tree_supports_intervals(tree) -> bool:
-    from pyrayt_tpu.scene.compile import LEAF
-
-    if tree[0] == LEAF:
-        return True
-    op_name, l_tree, r_tree = tree
-    return (
-        op_name in ("intersect", "difference")
-        and r_tree[0] == LEAF
-        and tree_supports_intervals(l_tree)
-    )
-
-
-def _interval_intersect(iv, b):
-    """[a0,a1] ∩ [b0,b1] with surface ids travelling on each endpoint."""
-    a0, a1, i0, i1 = iv
-    b0, b1, j0, j1 = b
-    lo = jnp.maximum(a0, b0)
-    hi = jnp.minimum(a1, b1)
-    lo_id = jnp.where(b0 > a0, j0, i0)
-    hi_id = jnp.where(b1 < a1, j1, i1)
-    empty = lo > hi
-    inf = jnp.asarray(jnp.inf, a0.dtype)
-    return (jnp.where(empty, inf, lo), jnp.where(empty, inf, hi), lo_id, hi_id)
-
-
-def _interval_difference(iv, b):
-    """[a0,a1] − [b0,b1] -> up to two intervals (the general convex case)."""
-    a0, a1, i0, i1 = iv
-    b0, b1, j0, j1 = b
-    inf = jnp.asarray(jnp.inf, a0.dtype)
-    # piece 1: [a0, min(a1, b0)] — the part before the subtracted solid
-    p1_hi = jnp.minimum(a1, b0)
-    p1_hi_id = jnp.where(b0 < a1, j0, i1)
-    e1 = a0 > p1_hi
-    p1 = (jnp.where(e1, inf, a0), jnp.where(e1, inf, p1_hi), i0, p1_hi_id)
-    # piece 2: [max(a0, b1), a1] — the part after it
-    p2_lo = jnp.maximum(a0, b1)
-    p2_lo_id = jnp.where(b1 > a0, j1, i0)
-    e2 = p2_lo > a1
-    p2 = (jnp.where(e2, inf, p2_lo), jnp.where(e2, inf, a1), p2_lo_id, i1)
-    return [p1, p2]
-
-
-def _eval_tree_intervals(tree, leaf_intervals):
-    """Evaluate a supports-intervals CSG tree to a list of id-carrying
-    intervals ``(lo, hi, lo_id, hi_id)``."""
-    from pyrayt_tpu.scene.compile import LEAF
-
-    if tree[0] == LEAF:
-        return [leaf_intervals[tree[1]]]
-    op_name, l_tree, r_tree = tree
-    left = _eval_tree_intervals(l_tree, leaf_intervals)
-    b = leaf_intervals[r_tree[1]]
-    if op_name == "intersect":
-        return [_interval_intersect(iv, b) for iv in left]
-    out = []
-    for iv in left:
-        out.extend(_interval_difference(iv, b))
-    return out
+# interval CSG lives in core.intervals (shared with the XLA engine);
+# re-exported here for the kernel and its tests
+from pyrayt_tpu.core.intervals import (  # noqa: E402  (grouped with kin)
+    eval_tree_intervals as _eval_tree_intervals,
+    leaf_intervals_from_hits,
+    tree_supports_intervals,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -369,15 +303,7 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
             hit_distances = jnp.where(new_min, cand, hit_distances)
             hit_leaf = jnp.where(new_min, ids, hit_leaf)
 
-        leaf_intervals = [
-            (
-                h[0],
-                h[1],
-                jnp.full(shape, s, jnp.int32),
-                jnp.full(shape, s, jnp.int32),
-            )
-            for s, h in enumerate(leaf_hits)
-        ]
+        leaf_intervals = leaf_intervals_from_hits(leaf_hits)
         for tree, fast in zip(spec.trees, fast_tree):
             if fast:
                 for lo, hi, lo_id, hi_id in _eval_tree_intervals(tree, leaf_intervals):

@@ -34,6 +34,11 @@ from pyrayt_tpu import materials as matl
 from pyrayt_tpu.config import TraceConfig
 from pyrayt_tpu.core import primitives as prim
 from pyrayt_tpu.core.csg import csg_combine_with_ids
+from pyrayt_tpu.core.intervals import (
+    eval_tree_intervals,
+    leaf_intervals_from_hits,
+    tree_supports_intervals,
+)
 from pyrayt_tpu.core.operations import (
     _norm_rows,
     _sum_rows,
@@ -101,21 +106,40 @@ def scene_nearest_hit(spec: SceneSpec, params, rays):
     Returns ``(hit_distances (n,), hit_leaf (n,) int32, obj_tx (S,4,4))``
     with ``hit_leaf = -1`` for rays that hit nothing
     (parity: _pyrayt.py:370-392).
+
+    Factory-shaped CSG trees evaluate via closed-form interval arithmetic
+    (core.intervals; also reverse-mode differentiable); general trees use
+    the comparator-network combiner.  Either way the nearest positive hit
+    is an unrolled min-fold over the static, tiny event axis — no
+    argmin/gather (TPU gathers serialize; SURVEY §7.4).
     """
     n = rays.shape[-1]
     leaf_hits, obj_tx = _leaf_hits(spec, params, rays)
+    sorted_hits = [
+        jnp.stack((jnp.minimum(h[0], h[1]), jnp.maximum(h[0], h[1])))
+        for h in leaf_hits
+    ]
 
     hit_distances = jnp.full(n, jnp.inf, dtype=rays.dtype)
     hit_leaf = jnp.full(n, -1, dtype=jnp.int32)
+
+    def fold(cand, ids):
+        nonlocal hit_distances, hit_leaf
+        cand = jnp.where(cand > 0, cand, jnp.inf)
+        new_min = cand < hit_distances
+        hit_distances = jnp.where(new_min, cand, hit_distances)
+        hit_leaf = jnp.where(new_min, ids, hit_leaf)
+
+    leaf_intervals = leaf_intervals_from_hits(sorted_hits)
     for tree in spec.trees:
-        shape_hits, shape_ids = _eval_tree(tree, leaf_hits)
-        # nearest positive hit: unrolled min-fold over the (static, tiny)
-        # event axis — no argmin/gather (TPU gathers serialize; SURVEY §7.4)
-        for row in range(shape_hits.shape[0]):
-            cand = jnp.where(shape_hits[row] > 0, shape_hits[row], jnp.inf)
-            new_min = cand < hit_distances
-            hit_distances = jnp.where(new_min, cand, hit_distances)
-            hit_leaf = jnp.where(new_min, shape_ids[row], hit_leaf)
+        if tree_supports_intervals(tree):
+            for lo, hi, lo_id, hi_id in eval_tree_intervals(tree, leaf_intervals):
+                fold(lo, lo_id)
+                fold(hi, hi_id)
+        else:
+            shape_hits, shape_ids = _eval_tree(tree, sorted_hits)
+            for row in range(shape_hits.shape[0]):
+                fold(shape_hits[row], shape_ids[row])
     return hit_distances, hit_leaf, obj_tx
 
 
