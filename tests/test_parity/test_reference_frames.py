@@ -194,3 +194,67 @@ def test_frame_dtypes_and_columns(reference):
 
     assert list(ours.columns) == list(ref.columns)
     assert all(ours.dtypes == np.float32)
+
+
+class TestNotebookImager:
+    """The lens-design notebook's imager workload (cell 11): five
+    CircleOfRays beams through a BK7 singlet and an f-stop onto an imager —
+    exercises the aperture() CSG, multi-source bookkeeping, and
+    calculate_source_ids against the reference."""
+
+    LENS_DIAMETER = 25.4
+
+    def _build(self, mod_components, glass):
+        lens_radius = 2 * (float(glass.index_at(0.532)) - 1) * 50.0
+        lens = mod_components.thick_lens(
+            lens_radius, -lens_radius, 5.0,
+            aperture=self.LENS_DIAMETER, material=glass,
+        )
+        stop = mod_components.aperture(
+            size=(self.LENS_DIAMETER, self.LENS_DIAMETER), aperture_size=3.0
+        ).move_x(25.0)
+        imager = mod_components.baffle(
+            (self.LENS_DIAMETER, self.LENS_DIAMETER)
+        ).move_x(50.0)
+        sources = [
+            mod_components.CircleOfRays(x).move_x(-10)
+            for x in np.linspace(0.1, 0.5, 5) * self.LENS_DIAMETER
+        ]
+        return sources, [lens, stop, imager], imager
+
+    def test_frame_and_source_id_parity(self, reference):
+        import pyrayt.materials as ref_matl
+
+        from pyrayt_tpu import materials as tmatl
+
+        sources, system, imager = self._build(tcomp, tmatl.glass["BK7"])
+        tracer = pyrayt_tpu.RayTracer(
+            sources, system, rays_per_source=41, generation_limit=10
+        )
+        ours = tracer.trace()
+        tracer.calculate_source_ids()
+
+        ref_sources, ref_system, ref_imager = self._build(
+            reference.components, ref_matl.glass["BK7"]
+        )
+        ref_tracer = reference.RayTracer(
+            ref_sources, ref_system, rays_per_source=41, generation_limit=10
+        )
+        ref = ref_tracer.trace()
+        ref_tracer.calculate_source_ids()
+
+        assert_frames_match(ours, ref)
+        # the f-stop vignettes the outer beams: some rays end on the stop,
+        # the rest reach the imager — and both frameworks agree per ray
+        ours_sorted = ours.sort_values(["generation", "id"]).reset_index(drop=True)
+        ref_sorted = ref.sort_values(["generation", "id"]).reset_index(drop=True)
+        on_imager_ours = ours_sorted["surface"] == float(imager.get_id())
+        on_imager_ref = ref_sorted["surface"] == float(ref_imager.get_id())
+        assert on_imager_ours.sum() == on_imager_ref.sum() > 0
+        assert (~on_imager_ours).sum() > 0  # something was vignetted
+        np.testing.assert_array_equal(
+            on_imager_ours.to_numpy(), on_imager_ref.to_numpy()
+        )
+        np.testing.assert_array_equal(
+            ours_sorted["source_id"].to_numpy(), ref_sorted["source_id"].to_numpy()
+        )
