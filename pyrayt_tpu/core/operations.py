@@ -161,8 +161,15 @@ def binomial_root(a, b, c, disc=None):
     polyroots = jnp.stack(((-b + root), (-b - root))) / denom
     polyroots = jnp.where(disc >= 0, polyroots, jnp.inf)
 
-    # single root for the linear case, duplicated so the hit count stays even
-    linear_root = -c / (b + (b == 0))
+    # single root for the linear case, duplicated so the hit count stays even.
+    # The division is only *live* where (a ~ 0, b !~ 0); everywhere else the
+    # denominator is forced to 1 — not just at b == 0 exactly, because a
+    # tiny b (e.g. 1e-33 transform residue for on-axis rays) underflows b^2
+    # in the backward pass (d/db = c/b^2 -> c/0 = inf), and inf times the
+    # where's zero cotangent is NaN.  Values are unchanged: non-live lanes
+    # are overridden by the linear/constant-case selects below.
+    live_linear = linear_cases & ~jnp.isclose(b, 0)
+    linear_root = -c / jnp.where(live_linear, b, 1.0)
     polyroots = jnp.where(linear_cases, linear_root[None], polyroots)
 
     # constant case: +/-inf encodes "always inside" (c <= 0) vs "never inside"

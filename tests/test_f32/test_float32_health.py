@@ -117,3 +117,40 @@ class TestAnalysesAtF32:
         table = spherical_aberration([lens, imager], -10.0, 25.4 / 4, 11)
         assert len(table) == 11
         assert float(np.ptp(table["focus"])) > 0.5  # real spherical aberration
+
+
+class TestGradientsAtF32:
+    def test_trace_gradients_finite_at_f32(self, f32):
+        """Regression: on-axis rays give the aperture cylinder a quadratic
+        linear-term b ~ 1e-33; the backward pass of binomial_root's linear
+        branch underflowed b^2 and poisoned the whole world-transform
+        gradient with NaN at float32 (fine at float64)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyrayt_tpu.analysis import metrics
+        from pyrayt_tpu.config import TraceConfig
+        from pyrayt_tpu.scene.compile import compile_scene
+        from pyrayt_tpu.tracer import engine
+
+        lens = components.thick_lens(
+            1.0, -1.0, 0.25, aperture=0.5, material=materials.glass["BK7"]
+        )
+        det = components.baffle((1.0, 1.0)).move_x(1.0)
+        scene = compile_scene([lens, det])
+        fn = engine.build_trace_fn(
+            scene.spec, scene.materials, TraceConfig(generation_limit=6, fixed_loop=True)
+        )
+        rays = components.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(256)
+        assert rays.positions.dtype == np.float32
+
+        def loss(params, r):
+            return metrics.rms_spot_radius(fn(params, r))
+
+        value, grads = jax.value_and_grad(loss)(scene.params, rays)
+        assert np.isfinite(float(value))
+        for name, leaf in grads.items():
+            arr = np.asarray(leaf)
+            assert np.all(np.isfinite(arr)), f"non-finite grad in {name}"
+        # and the gradients are not trivially zero
+        assert np.abs(np.asarray(grads["world"])).max() > 1e-8
