@@ -71,6 +71,7 @@ LANE = 128  # TPU lane width: rays tile as (R, LANE)
 _SUBLANE = 8  # f32 sublane granularity
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of ~16 MB/core, leaving compiler slack
 _MAX_R = 64  # 8192 rays per block
+_ZERO_RECORDS = True  # zero-fill skipped generations' records (see kernel)
 
 
 def on_tpu() -> bool:
@@ -408,7 +409,10 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
             jnp.ones_like(state[8]),  # alive (float mask; see step docstring)
         )
         # outputs must be defined even for generations the early exit skips
-        rec_ref[:] = jnp.zeros_like(rec_ref)
+        # (mask zeroing is load-bearing; record zeroing is determinism only —
+        # unwritten generations are always masked out downstream)
+        if _ZERO_RECORDS:
+            rec_ref[:] = jnp.zeros_like(rec_ref)
         mask_ref[:] = jnp.zeros_like(mask_ref)
 
         def cond(loop_carry):
