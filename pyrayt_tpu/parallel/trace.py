@@ -38,12 +38,34 @@ from pyrayt_tpu.parallel.mesh import pad_rayset, rayset_sharding, shard_rayset
 __all__ = ["build_sharded_trace_fn", "sharded_trace", "build_train_step"]
 
 
-def build_sharded_trace_fn(scene: CompiledScene, config: TraceConfig, mesh: Mesh):
+def build_sharded_trace_fn(
+    scene: CompiledScene,
+    config: TraceConfig,
+    mesh: Mesh,
+    use_fused: Optional[bool] = None,
+):
     """Jit the trace with ray-axis input shardings pinned to ``mesh``.
 
     Returns ``fn(params, rays: RaySet) -> TraceResult`` whose record buffers
     stay sharded on device (fetch once at the end — SURVEY.md §7 stage 8).
+
+    ``use_fused`` mirrors ``TraceConfig.use_fused`` for the multi-device
+    path: the fused Pallas kernel is a single-device program, so it runs
+    under ``shard_map`` — each shard traces its rays independently and only
+    the ``generations_run`` scalar is pmax-reduced.  ``None`` picks it
+    automatically on TPU for supported scenes; ``False`` keeps the XLA
+    engine (which XLA partitions from the sharding annotations alone).
     """
+    from pyrayt_tpu.ops import fused_trace as ft
+
+    if use_fused is None:
+        use_fused = config.use_fused
+    feasible = ft.supports_fused(scene.spec) and ft.fused_block_rays(config) is not None
+    if use_fused is True and not feasible:
+        raise ValueError("use_fused=True, but the scene/config is unsupported")
+    if use_fused is True or (use_fused is None and feasible and ft.on_tpu()):
+        return _build_shard_mapped_fused(scene, config, mesh, ft)
+
     base = engine.build_trace_fn(scene.spec, scene.materials, config)
     replicated = NamedSharding(mesh, P())
     in_shardings = (
@@ -51,6 +73,55 @@ def build_sharded_trace_fn(scene: CompiledScene, config: TraceConfig, mesh: Mesh
         rayset_sharding(mesh),
     )
     return jax.jit(base, in_shardings=in_shardings)
+
+
+def _build_shard_mapped_fused(scene, config, mesh, ft):
+    """shard_map the fused kernel: per-shard traces, zero collectives except
+    the pmax of generations_run."""
+    shard_map = jax.shard_map
+
+    fused = ft.build_fused_trace_fn(
+        scene.spec, scene.materials, config, interpret=not ft.on_tpu()
+    )
+    axes = mesh.axis_names
+    ray_spec = P(axes)
+    vec_spec = P(None, axes)
+
+    params_specs = jax.tree_util.tree_map(lambda _: P(), scene.params)
+    rays_specs = RaySet(
+        positions=vec_spec,
+        directions=vec_spec,
+        generation=ray_spec,
+        intensity=ray_spec,
+        wavelength=ray_spec,
+        index=ray_spec,
+        id=ray_spec,
+    )
+    result_specs = engine.TraceResult(
+        records=P(None, None, axes),
+        record_mask=P(None, axes),
+        final_rays=rays_specs,
+        generations_run=P(),
+    )
+
+    def local_trace(params, rays):
+        result = fused(params, rays)
+        gens = result.generations_run
+        for name in axes:
+            gens = jax.lax.pmax(gens, name)
+        return result.replace(generations_run=gens)
+
+    mapped = shard_map(
+        local_trace,
+        mesh=mesh,
+        in_specs=(params_specs, rays_specs),
+        out_specs=result_specs,
+        # pallas_call out_shapes carry no varying-mesh-axes metadata, which
+        # the replication checker requires; the out_specs above are the
+        # truth, so skip the check
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def sharded_trace(

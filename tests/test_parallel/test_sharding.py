@@ -129,3 +129,46 @@ def test_train_step_decreases_loss(system):
             rtol=1e-6,
             atol=1e-9,
         )
+
+
+class TestShardMappedFusedTrace:
+    """The fused Pallas kernel on a device mesh: shard_map runs one kernel
+    per shard (interpret mode on these virtual CPU devices) and must match
+    the unsharded XLA engine exactly."""
+
+    def test_fused_shard_map_matches_engine(self):
+        import jax
+        import numpy as np
+
+        from pyrayt_tpu import components, materials
+        from pyrayt_tpu.config import TraceConfig
+        from pyrayt_tpu.parallel import default_mesh, pad_rayset, shard_rayset
+        from pyrayt_tpu.parallel.trace import build_sharded_trace_fn
+        from pyrayt_tpu.scene.compile import compile_scene
+        from pyrayt_tpu.tracer import engine
+
+        lens = components.thick_lens(
+            1.0, -1.0, 0.25, aperture=0.5, material=materials.glass["BK7"]
+        )
+        det = components.baffle((1.0, 1.0)).move_x(1.0)
+        scene = compile_scene([lens, det])
+        config = TraceConfig(generation_limit=4, fixed_loop=True)
+        rays = components.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(64)
+
+        mesh = default_mesh(n_devices=8, n_hosts=2)
+        fn = build_sharded_trace_fn(scene, config, mesh, use_fused=True)
+        padded, n_valid = pad_rayset(rays, mesh.size)
+        placed = shard_rayset(padded, mesh)
+        sharded = fn(scene.params, placed)
+        jax.block_until_ready(sharded)
+
+        reference = engine.build_trace_fn(scene.spec, scene.materials, config)(
+            scene.params, rays
+        )
+        mask_s = np.asarray(sharded.record_mask)[:, :n_valid]
+        mask_r = np.asarray(reference.record_mask)
+        assert np.array_equal(mask_s, mask_r)
+        recs_s = np.asarray(sharded.records)[:, :, :n_valid] * mask_s[:, None, :]
+        recs_r = np.asarray(reference.records) * mask_r[:, None, :]
+        np.testing.assert_allclose(recs_s, recs_r, rtol=1e-12, atol=1e-12)
+        assert int(sharded.generations_run) == int(reference.generations_run)
