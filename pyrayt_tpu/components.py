@@ -255,10 +255,19 @@ def plane_mirror(thickness: float, **kwargs):
 @_mirror
 def spherical_mirror(radius: float, thickness: float, **kwargs):
     """Spherical mirror; only the spherical surface reflects, sidewalls
-    absorb (parity: components.py:269-321).  Focal point at (r/2, 0, 0)."""
+    absorb (parity: components.py:269-321).  Focal point at (r/2, 0, 0).
+
+    Differentiable design: ``radius``/``thickness`` may be traced; a traced
+    radius needs a static ``radius_sign=`` (+1 concave-toward--X / -1), the
+    same structural-sign rule as thick_lens.
+    """
     off_axis = kwargs.get("off_axis")
     material = kwargs.get("material")
     aperture_arg = kwargs.get("aperture")
+
+    sign = _surface_sign(radius, kwargs.pop("radius_sign", None), "radius")
+    if sign == 0:
+        raise ValueError("spherical_mirror radius must be finite and nonzero")
 
     l = np.sqrt(off_axis[0] ** 2 + off_axis[1] ** 2)
     if hasattr(aperture_arg, "__len__"):
@@ -266,7 +275,12 @@ def spherical_mirror(radius: float, thickness: float, **kwargs):
     else:
         dl = aperture_arg / 2
 
-    aperture_front_thickness = abs(radius) - np.sqrt(radius**2 - (l + dl) ** 2)
+    if is_traced(radius, thickness):
+        r_abs = jnp.abs(radius)
+        aperture_front_thickness = r_abs - safe_sqrt(radius * radius - (l + dl) ** 2)
+    else:
+        r_abs = abs(radius)
+        aperture_front_thickness = r_abs - np.sqrt(radius**2 - (l + dl) ** 2)
     total_thickness = aperture_front_thickness + thickness
 
     aperture_solid = _create_aperture(
@@ -275,11 +289,11 @@ def spherical_mirror(radius: float, thickness: float, **kwargs):
     aperture_solid.material = matl.absorber
     aperture_solid.move(*off_axis, 0)
 
-    if radius > 0:
+    if sign > 0:
         mirror_surface = Sphere(radius, material=material).move_z(radius)
         aperture_solid.move_z(total_thickness / 2 - thickness)
-    elif radius < 0:
-        mirror_surface = Sphere(abs(radius), material=material).move_z(radius)
+    else:
+        mirror_surface = Sphere(r_abs, material=material).move_z(radius)
         aperture_solid.move_z(thickness - total_thickness / 2)
     return csg.difference(aperture_solid, mirror_surface)
 

@@ -112,13 +112,16 @@ class Cuboid(TracerSurface):
 
     @classmethod
     def from_sides(cls, x=1, y=1, z=1, **kwargs):
-        corners = np.tile((-0.5, 0.5), (3, 1)).T * np.array((x, y, z))
-        return cls(*corners, **kwargs)
+        xp = xp_for(x, y, z)
+        dims = xp.stack([xp.asarray(v, dtype=float) for v in (x, y, z)])
+        return cls(-0.5 * dims, 0.5 * dims, **kwargs)
 
     @classmethod
     def from_length(cls, length, **kwargs):
-        corners = length * np.tile((-0.5, 0.5), (3, 1)).T
-        return cls(*corners, **kwargs)
+        xp = xp_for(length)
+        half = 0.5 * xp.asarray(length, dtype=float)
+        corner = xp.stack((half, half, half))
+        return cls(-corner, corner, **kwargs)
 
     @property
     def axis_spans(self):

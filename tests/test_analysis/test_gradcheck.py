@@ -131,3 +131,58 @@ def test_world_transform_gradient():
     numeric = finite_difference_grad(obj, dx, eps=1e-6)
     analytic = jax.grad(obj)(dx)
     assert jnp.allclose(analytic, jnp.asarray(numeric), rtol=1e-4, atol=1e-9)
+
+
+class TestMirrorAndPrismGradients:
+    """Every factory family is differentiable: spherical mirror radius,
+    parabolic mirror focus, and prism side length flow FD-validated
+    gradients through full traces."""
+
+    def test_spherical_mirror_radius_gradient(self):
+        def build(r):
+            m = comp.spherical_mirror(
+                r, 0.1, aperture=0.5, radius_sign=1
+            ).rotate_z(180).move_x(2.0)
+            ret = comp.baffle((2.0, 2.0))
+            return [ret, m]
+
+        rays = comp.LineOfRays(0.3).move_x(0.2).generate_rays(16)
+        obj = build_objective(
+            build, rays, metrics.rms_spot_radius,
+            TraceConfig(generation_limit=4, fixed_loop=True),
+        )
+        r0 = jnp.asarray(2.0)
+        max_abs, max_rel = check_gradients(obj, r0, eps=1e-6, rtol=1e-4)
+        assert max_rel < 1e-4
+        assert jnp.abs(jax.grad(obj)(r0)) > 1e-8
+
+    def test_parabolic_mirror_focus_gradient(self):
+        def build(f):
+            m = comp.parabolic_mirror(f, 0.1, aperture=1.0).rotate_z(180).move_x(2.0)
+            ret = comp.baffle((4.0, 4.0))
+            return [ret, m]
+
+        rays = comp.LineOfRays(0.5).move_x(0.2).generate_rays(16)
+        obj = build_objective(
+            build, rays, metrics.rms_spot_radius,
+            TraceConfig(generation_limit=4, fixed_loop=True),
+        )
+        f0 = jnp.asarray(0.6)
+        max_abs, max_rel = check_gradients(obj, f0, eps=1e-6, rtol=1e-4)
+        assert max_rel < 1e-4
+        assert jnp.abs(jax.grad(obj)(f0)) > 1e-8
+
+    def test_prism_side_length_gradient(self):
+        def build(s):
+            prism = comp.equilateral_prism(s, 1.0, material=matl.glass["BK7"])
+            det = comp.baffle((6.0, 6.0)).move_x(2.0)
+            return [prism.move_x(0.25), det]
+
+        rays = comp.LineOfRays(0.1).move_x(-1.0).rotate_y(-3).generate_rays(8)
+        obj = build_objective(
+            build, rays, metrics.rms_spot_radius,
+            TraceConfig(generation_limit=5, fixed_loop=True),
+        )
+        s0 = jnp.asarray(1.0)
+        max_abs, max_rel = check_gradients(obj, s0, eps=1e-6, rtol=1e-4)
+        assert max_rel < 1e-4
