@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import pyrayt_tpu.materials as matl
-from pyrayt_tpu.core.operations import safe_sqrt
+from pyrayt_tpu.core.operations import safe_sqrt, transform_rays
 from pyrayt_tpu.scene import csg
 from pyrayt_tpu.scene._backend import is_traced, xp_for
 from pyrayt_tpu.scene.objects import WorldObject
@@ -389,9 +389,11 @@ class Source(WorldObject, abc.ABC):
         """Generate rays, world-transformed with renormalized directions
         (parity: components.py:481-496)."""
         ray_set = self._local_ray_generation(n_rays)
-        tx = self._world_coordinate_transform
-        positions = tx @ ray_set.positions
-        directions = tx @ ray_set.directions
+        tx = jnp.asarray(self._world_coordinate_transform)
+        # full-precision transform: the TPU default matmul precision is
+        # bfloat16 passes, which would quantize every source position
+        positions = transform_rays(tx, ray_set.positions)
+        directions = transform_rays(tx, ray_set.directions)
         directions = directions / jnp.linalg.norm(directions, axis=0)
         return ray_set.replace(positions=positions, directions=directions)
 

@@ -35,3 +35,9 @@ class TraceConfig:
     #: None = auto (fused on TPU when the scene supports it), True = force
     #: (raises if unsupported), False = always the XLA engine.
     use_fused: Optional[bool] = None
+    #: rematerialize the generation step under reverse-mode AD (scan driver
+    #: only): saves just the inter-generation ray carry and recomputes the
+    #: step's intermediates in the backward pass — trades ~1 extra forward
+    #: step for not round-tripping every intersection/CSG intermediate
+    #: through HBM.  No effect on forward-only traces.
+    remat: bool = False

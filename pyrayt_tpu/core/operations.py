@@ -17,17 +17,36 @@ Conventions preserved from the reference (they are load-bearing for CSG):
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 __all__ = [
     "safe_sqrt",
     "safe_normalize",
     "affine_inverse",
+    "transform_rays",
+    "TRANSFORM_PRECISION",
     "smallest_positive_root",
     "binomial_root",
     "element_wise_dot",
     "reflect",
     "refract",
 ]
+
+# 4x4 homogeneous transforms are applied at full input precision: on TPU the
+# default matmul precision runs bfloat16 passes, which quantizes every ray
+# origin/direction/normal to 8 mantissa bits (observed: 0.4 -> 0.40039062 on
+# hardware).  The contractions are K=4 — far below MXU efficiency anyway —
+# so full precision costs nothing measurable while keeping the f32
+# production path at f32 accuracy.
+TRANSFORM_PRECISION = lax.Precision.HIGHEST
+
+
+def transform_rays(tx, x):
+    """``tx @ x`` for homogeneous transforms at TRANSFORM_PRECISION.
+
+    ``tx``: (..., 4, 4); ``x``: (..., 4, n) points/vectors/normals.
+    """
+    return jnp.matmul(tx, x, precision=TRANSFORM_PRECISION)
 
 
 def affine_inverse(matrices):

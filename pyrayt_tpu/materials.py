@@ -189,9 +189,20 @@ class Glass(TracableMaterial):
 
 class BasicRefractor(_ValueIdentity, Glass):
     def __init__(self, refractive_index: float, *args, **kwargs):
-        """Non-dispersive glass with a constant refractive index."""
+        """Non-dispersive glass with a constant refractive index.
+
+        Immutable after construction: materials hash by their dispersion
+        values (see _ValueIdentity) and are used as cache / slot-map keys,
+        so the values may not change once built.  To vary the index, build
+        a new material (cheap) or optimize the scene params pytree, where
+        glass coefficients are first-class differentiable leaves.
+        """
         self._refractive_index = refractive_index
         super().__init__()
+
+    @property
+    def refractive_index(self):
+        return self._refractive_index
 
     def _value_key(self):
         return (_as_float(self._refractive_index),)
@@ -210,10 +221,24 @@ class BasicRefractor(_ValueIdentity, Glass):
 class SellmeierRefractor(_ValueIdentity, Glass):
     def __init__(self, b1=0, b2=0, b3=0, c1=0, c2=0, c3=0):
         """Dispersive glass following the Sellmeier equation
-        (coefficients as found at refractiveindex.info)."""
-        self.b1, self.b2, self.b3 = b1, b2, b3
-        self.c1, self.c2, self.c3 = c1, c2, c3
+        (coefficients as found at refractiveindex.info).
+
+        Immutable after construction: the coefficients are read-only
+        properties because materials hash by value (_ValueIdentity) and key
+        compile caches and compile_scene's slot map — mutating them after a
+        scene is compiled would silently corrupt lookups.  Optimize glass
+        via the scene params pytree instead.
+        """
+        self._b1, self._b2, self._b3 = b1, b2, b3
+        self._c1, self._c2, self._c3 = c1, c2, c3
         super().__init__()
+
+    b1 = property(lambda self: self._b1)
+    b2 = property(lambda self: self._b2)
+    b3 = property(lambda self: self._b3)
+    c1 = property(lambda self: self._c1)
+    c2 = property(lambda self: self._c2)
+    c3 = property(lambda self: self._c3)
 
     def _value_key(self):
         return tuple(

@@ -61,7 +61,7 @@ __all__ = [
     "supports_fused",
     "build_fused_trace_fn",
     "on_tpu",
-    "fused_block_rows",
+    "fused_block_rays",
     "LANE",
 ]
 

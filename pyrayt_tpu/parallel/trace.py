@@ -43,6 +43,7 @@ def build_sharded_trace_fn(
     config: TraceConfig,
     mesh: Mesh,
     use_fused: Optional[bool] = None,
+    itemsize: int = 4,
 ):
     """Jit the trace with ray-axis input shardings pinned to ``mesh``.
 
@@ -55,12 +56,19 @@ def build_sharded_trace_fn(
     the ``generations_run`` scalar is pmax-reduced.  ``None`` picks it
     automatically on TPU for supported scenes; ``False`` keeps the XLA
     engine (which XLA partitions from the sharding annotations alone).
+
+    ``itemsize`` is the ray dtype's byte width used by the VMEM feasibility
+    check (4 for the float32 production path; pass 8 when tracing f64 rays
+    so the check matches what the kernel recomputes at trace time).
     """
     from pyrayt_tpu.ops import fused_trace as ft
 
     if use_fused is None:
         use_fused = config.use_fused
-    feasible = ft.supports_fused(scene.spec) and ft.fused_block_rays(config) is not None
+    feasible = (
+        ft.supports_fused(scene.spec)
+        and ft.fused_block_rays(config, itemsize) is not None
+    )
     if use_fused is True and not feasible:
         raise ValueError("use_fused=True, but the scene/config is unsupported")
     if use_fused is True or (use_fused is None and feasible and ft.on_tpu()):
@@ -77,12 +85,13 @@ def build_sharded_trace_fn(
 
 def _build_shard_mapped_fused(scene, config, mesh, ft):
     """shard_map the fused kernel: per-shard traces, zero collectives except
-    the pmax of generations_run."""
+    the pmax of generations_run.
+
+    The interpret-vs-Mosaic choice is made at *call* time, not build time: a
+    fn built before TPU initialization must still run compiled once a TPU is
+    the default backend (each variant is built once and memoized)."""
     shard_map = jax.shard_map
 
-    fused = ft.build_fused_trace_fn(
-        scene.spec, scene.materials, config, interpret=not ft.on_tpu()
-    )
     axes = mesh.axis_names
     ray_spec = P(axes)
     vec_spec = P(None, axes)
@@ -104,24 +113,39 @@ def _build_shard_mapped_fused(scene, config, mesh, ft):
         generations_run=P(),
     )
 
-    def local_trace(params, rays):
-        result = fused(params, rays)
-        gens = result.generations_run
-        for name in axes:
-            gens = jax.lax.pmax(gens, name)
-        return result.replace(generations_run=gens)
+    def build(interpret: bool):
+        fused = ft.build_fused_trace_fn(
+            scene.spec, scene.materials, config, interpret=interpret
+        )
 
-    mapped = shard_map(
-        local_trace,
-        mesh=mesh,
-        in_specs=(params_specs, rays_specs),
-        out_specs=result_specs,
-        # pallas_call out_shapes carry no varying-mesh-axes metadata, which
-        # the replication checker requires; the out_specs above are the
-        # truth, so skip the check
-        check_vma=False,
-    )
-    return jax.jit(mapped)
+        def local_trace(params, rays):
+            result = fused(params, rays)
+            gens = result.generations_run
+            for name in axes:
+                gens = jax.lax.pmax(gens, name)
+            return result.replace(generations_run=gens)
+
+        mapped = shard_map(
+            local_trace,
+            mesh=mesh,
+            in_specs=(params_specs, rays_specs),
+            out_specs=result_specs,
+            # pallas_call out_shapes carry no varying-mesh-axes metadata,
+            # which the replication checker requires; the out_specs above
+            # are the truth, so skip the check
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    built = {}
+
+    def dispatch(params, rays):
+        interpret = not ft.on_tpu()
+        if interpret not in built:
+            built[interpret] = build(interpret)
+        return built[interpret](params, rays)
+
+    return dispatch
 
 
 def sharded_trace(
@@ -139,7 +163,8 @@ def sharded_trace(
         mesh = default_mesh()
     rays, _ = pad_rayset(rays, mesh.size)
     rays = shard_rayset(rays, mesh)
-    fn = build_sharded_trace_fn(scene, config, mesh)
+    itemsize = jnp.dtype(rays.positions.dtype).itemsize
+    fn = build_sharded_trace_fn(scene, config, mesh, itemsize=itemsize)
     return fn(scene.params, rays)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from pyrayt_tpu.core.operations import TRANSFORM_PRECISION
 from pyrayt_tpu.scene.objects import WorldObject
 
 __all__ = ["OrthographicCamera"]
@@ -37,7 +38,10 @@ class OrthographicCamera(WorldObject):
         """(2, 4, h*v) world-space pixel rays, unit directions."""
         rays = self._local_ray_generation()
         rays = jnp.einsum(
-            "ij,rjn->rin", jnp.asarray(self._world_coordinate_transform), rays
+            "ij,rjn->rin",
+            jnp.asarray(self._world_coordinate_transform),
+            rays,
+            precision=TRANSFORM_PRECISION,
         )
         directions = rays[1] / jnp.linalg.norm(rays[1], axis=0)
         return jnp.stack((rays[0], directions))

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyrayt_tpu.core import primitives as prim
+from pyrayt_tpu.core.operations import TRANSFORM_PRECISION, transform_rays
 from pyrayt_tpu.scene._backend import is_traced, xp_for
 
 __all__ = [
@@ -377,7 +378,10 @@ class TracerSurface(Intersectable, abc.ABC):
         if rays.ndim == 2:
             rays = rays[..., None]
         local_rays = jnp.einsum(
-            "ij,rjn->rin", jnp.asarray(self._object_coordinate_transform), rays
+            "ij,rjn->rin",
+            jnp.asarray(self._object_coordinate_transform),
+            rays,
+            precision=TRANSFORM_PRECISION,
         )
         hits = prim.leaf_intersect(self.prim_type, local_rays, jnp.asarray(self._prim_params))
         hits = jnp.stack((jnp.minimum(hits[0], hits[1]), jnp.maximum(hits[0], hits[1])))
@@ -410,11 +414,11 @@ class TracerSurface(Intersectable, abc.ABC):
         if single:
             positions = positions[:, None]
         obj_tx = jnp.asarray(self._object_coordinate_transform)
-        local_points = obj_tx @ positions
+        local_points = transform_rays(obj_tx, positions)
         local_normals = prim.leaf_normal(
             self.prim_type, local_points, jnp.asarray(self._prim_params)
         )
-        world_normals = obj_tx.T @ local_normals
+        world_normals = transform_rays(obj_tx.T, local_normals)
         world_normals = world_normals.at[-1].set(0.0)
         world_normals = world_normals / jnp.linalg.norm(world_normals, axis=0)
         world_normals = world_normals * self._normal_scale

@@ -40,12 +40,14 @@ from pyrayt_tpu.core.intervals import (
     tree_supports_intervals,
 )
 from pyrayt_tpu.core.operations import (
+    TRANSFORM_PRECISION,
     _norm_rows,
     _sum_rows,
     affine_inverse,
     reflect,
     refract,
     safe_normalize,
+    transform_rays,
 )
 from pyrayt_tpu.scene.compile import LEAF, OP_BY_NAME, CompiledScene, SceneSpec
 from pyrayt_tpu.tracer.rayset import RaySet
@@ -77,7 +79,9 @@ def _leaf_hits(spec: SceneSpec, params, rays):
     reference does this per surface per generation (world_objects.py:367).
     """
     obj_tx = affine_inverse(params["world"])  # (S, 4, 4)
-    local = jnp.einsum("sij,rjn->srin", obj_tx, rays)
+    local = jnp.einsum(
+        "sij,rjn->srin", obj_tx, rays, precision=TRANSFORM_PRECISION
+    )
     return [
         prim.leaf_intersect(t, local[s], params["prim"][s])
         for s, t in enumerate(spec.leaf_types)
@@ -164,9 +168,9 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
         ]:
             continue
         mask = hit_leaf == s
-        local_points = obj_tx[s] @ hit_points
+        local_points = transform_rays(obj_tx[s], hit_points)
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
-        world = obj_tx[s].T @ local_normals
+        world = transform_rays(obj_tx[s].T, local_normals)
         world = prim._zero_w(world)
         # clamp the sqrt *argument* so reverse-mode stays NaN-free at
         # zero-length normals (see core.operations.safe_normalize)
@@ -320,6 +324,12 @@ def build_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
     def step(params, carry):
         return _generation_step(spec, materials, config, params, carry)
 
+    if config.remat:
+        # save only the (13+1)-row inter-generation carry; recompute the
+        # step's intermediates (per-leaf hits, CSG intervals, normals) in
+        # the backward pass instead of spilling them to HBM
+        step = jax.checkpoint(step)
+
     if config.fixed_loop:
 
         def trace(params, initial_rays: RaySet) -> TraceResult:
@@ -366,11 +376,15 @@ def build_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
             g, (final_rays, _), records, masks = lax.while_loop(
                 cond, body, (jnp.asarray(0), (initial_rays, alive0), records0, masks0)
             )
+            # one definition of generations_run across every dispatch path
+            # (scan / while / fused): the number of generations that recorded
+            # at least one living ray.  The raw iteration count ``g`` counts
+            # the trailing all-dead pass too, so it is NOT used here.
             return TraceResult(
                 records=records,
                 record_mask=masks,
                 final_rays=final_rays,
-                generations_run=g,
+                generations_run=jnp.sum(jnp.any(masks, axis=1)),
             )
 
     return jax.jit(trace)
@@ -404,7 +418,12 @@ def trace_rays(
             "generation_limit exceeds the fused kernel's VMEM budget"
         )
     if use is True or (use is None and feasible and ft.on_tpu()):
-        fn = ft.build_fused_trace_fn(scene.spec, scene.materials, config)
+        # forcing the fused kernel off-TPU runs it interpreted (slow but
+        # correct) instead of failing in the Mosaic compiler; the auto
+        # dispatch above only picks it on TPU, where interpret is False
+        fn = ft.build_fused_trace_fn(
+            scene.spec, scene.materials, config, interpret=not ft.on_tpu()
+        )
     else:
         fn = build_trace_fn(scene.spec, scene.materials, config)
     return fn(scene.params, initial_rays)

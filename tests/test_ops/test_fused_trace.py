@@ -145,6 +145,43 @@ def test_generation_limit_exhaustion():
     assert np.asarray(rf.record_mask).all()
 
 
+def test_generations_run_consistent_across_engines():
+    """All three dispatch paths (scan, while-loop, fused) must report the
+    same generations_run: the number of generations that recorded at least
+    one living ray — NOT the raw while-loop iteration count, which includes
+    the trailing all-dead pass (advisor round 2, medium)."""
+    det = comp.baffle((4.0, 4.0)).move_x(1.0)
+    scene = compile_scene([det])
+    rays = comp.LineOfRays(1.0).move_x(-1.0).generate_rays(32)
+
+    cfg_scan = TraceConfig(generation_limit=4, fixed_loop=True)
+    cfg_while = TraceConfig(generation_limit=4, fixed_loop=False)
+    r_scan = engine.build_trace_fn(scene.spec, scene.materials, cfg_scan)(
+        scene.params, rays
+    )
+    r_while = engine.build_trace_fn(scene.spec, scene.materials, cfg_while)(
+        scene.params, rays
+    )
+    r_fused = fused_trace.build_fused_trace_fn(
+        scene.spec, scene.materials, cfg_scan, interpret=True
+    )(scene.params, rays)
+    assert int(r_scan.generations_run) == 1
+    assert int(r_while.generations_run) == 1
+    assert int(r_fused.generations_run) == 1
+
+
+def test_while_loop_engine_parity():
+    """assert_result_parity with the while-loop (fixed_loop=False) engine:
+    masks, records, and generations_run must match the fused kernel."""
+    lens = comp.thick_lens(1.0, -1.0, 0.25, aperture=0.5, material=matl.glass["BK7"])
+    det = comp.baffle((1.0, 1.0)).move_x(1.0)
+    scene = compile_scene([lens, det])
+    rays = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(64)
+    assert_result_parity(
+        scene, rays, TraceConfig(generation_limit=6, fixed_loop=False)
+    )
+
+
 def test_supports_fused_rejects_custom_material():
     class Weird(matl.TracableMaterial):
         kind = matl.KIND_GLASS

@@ -24,6 +24,7 @@ Q1 (inert intensity threshold) is reproduced by default, Q2 (biconvex
 radius bug) does not trigger because both workloads use r1 == r2.
 """
 
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -178,6 +179,152 @@ class TestCondenserTutorial:
         assert_frames_match(ours, ref)
 
 
+class TestMirrorWorkloads:
+    """Reference-parity for mirror systems (BASELINE config #4 gap from
+    VERDICT round 2): spherical retro-focus, parabolic collimator, an
+    off-axis parabola, and a 45-degree plane-mirror fold.  Match:
+    /root/reference/pyrayt/components.py:245-398."""
+
+    def _run_pair(self, reference, build, n_rays, gen_limit):
+        srcs, system = build(tcomp, None)
+        ours = pyrayt_tpu.RayTracer(
+            srcs, system, rays_per_source=n_rays, generation_limit=gen_limit
+        ).trace()
+        rsrcs, rsystem = build(reference.components, None)
+        ref = reference.RayTracer(
+            rsrcs, rsystem, rays_per_source=n_rays, generation_limit=gen_limit
+        ).trace()
+        assert_frames_match(ours, ref)
+        return ours
+
+    def test_spherical_mirror_retro_focus(self, reference):
+        # collimated beam traveling -X hits the concave sphere (R=2, focus
+        # at x=+1), converges through the focus, lands on a baffle at x=3
+        def build(mod, _):
+            m = mod.spherical_mirror(radius=2.0, thickness=0.2, aperture=1.0)
+            det = mod.baffle((4.0, 4.0)).move_x(3.0)
+            src = mod.LineOfRays(0.6).rotate_z(180).move_x(1.5)
+            return [src], [m, det]
+
+        ours = self._run_pair(reference, build, 20, 10)
+        assert set(ours["generation"].unique()) == {0.0, 1.0}
+        g0 = ours[ours["generation"] == 0].sort_values("id")
+        g1 = ours[ours["generation"] == 1].sort_values("id")
+        # every reflected ray reaches the detector plane...
+        np.testing.assert_allclose(g1["x1"], 3.0, atol=1e-5)
+        # ...and crossed the optical axis on the way (focus between mirror
+        # and baffle): the y sign flips mirror-side -> detector-side
+        off_axis = np.abs(g0["y1"].to_numpy()) > 1e-6
+        assert (
+            np.sign(g1["y1"].to_numpy()[off_axis])
+            == -np.sign(g0["y1"].to_numpy()[off_axis])
+        ).all()
+
+    def test_parabolic_mirror_collimator(self, reference):
+        # point source at the focus (origin) -> collimated +X beam
+        def build(mod, _):
+            m = mod.parabolic_mirror(focus=0.5, thickness=0.1, aperture=1.0)
+            det = mod.baffle((2.0, 2.0)).move_x(2.0)
+            src = mod.ConeOfRays(cone_angle=20.0).rotate_z(180)
+            return [src], [m, det]
+
+        ours = self._run_pair(reference, build, 24, 10)
+        g1 = ours[ours["generation"] == 1]
+        assert len(g1) == 24
+        np.testing.assert_allclose(g1["x_tilt"], 1.0, atol=1e-6)
+        np.testing.assert_allclose(g1["x1"], 2.0, atol=1e-5)
+
+    def test_off_axis_parabolic_focuses_through_origin(self, reference):
+        # collimated beam parallel to the axis at y=+0.6 (the off-axis
+        # segment) traveling -X reflects toward the focus at the origin
+        def build(mod, _):
+            m = mod.parabolic_mirror(
+                focus=0.5, thickness=0.1, aperture=0.8, off_axis=(0.6, 0.0)
+            )
+            det = mod.baffle((6.0, 6.0)).move_x(2.0)
+            src = mod.LineOfRays(0.3).rotate_z(180).move_x(2.0).move_y(0.6)
+            return [src], [m, det]
+
+        ours = self._run_pair(reference, build, 24, 10)
+        g1 = ours[ours["generation"] == 1]
+        assert len(g1) > 0
+        # reflected segments pass within numerical focus of the origin:
+        # distance from the origin to each segment's line is ~0
+        p = g1[["x0", "y0", "z0"]].to_numpy()
+        d = g1[["x_tilt", "y_tilt", "z_tilt"]].to_numpy()
+        t_star = -(p * d).sum(axis=1)  # closest approach parameter
+        closest = p + t_star[:, None] * d
+        assert np.abs(closest).max() < 1e-4
+
+    def test_plane_mirror_fold(self, reference):
+        # 45-degree fold: +X beam reflects to -Y onto a rotated baffle
+        def build(mod, _):
+            m = mod.plane_mirror(0.1, aperture=2.0).rotate_z(45)
+            det = mod.baffle((4.0, 4.0)).rotate_z(90).move_y(-2.0)
+            src = mod.LineOfRays(0.8).move_x(-1.5)
+            return [src], [m, det]
+
+        ours = self._run_pair(reference, build, 16, 8)
+        g1 = ours[ours["generation"] == 1]
+        assert len(g1) == 16
+        np.testing.assert_allclose(g1["y_tilt"], -1.0, atol=1e-6)
+        np.testing.assert_allclose(g1["y1"], -2.0, atol=1e-5)
+
+
+class TestUnionCSGCompound:
+    """Reference-parity for a union CSG compound (BASELINE config #4):
+    two overlapping glass spheres unioned into one solid, an aperture
+    stop, and an imaging baffle.  Match:
+    /root/reference/tinygfx/g3d/csg.py:182-191 (union path)."""
+
+    def test_frame_parity(self, reference):
+        import tinygfx.g3d as ref_cg
+        import pyrayt.materials as ref_matl
+
+        from pyrayt_tpu import materials as tmatl
+        import pyrayt_tpu.scene.csg as tcsg
+        from pyrayt_tpu.scene import Sphere as TSphere
+
+        def build_ours():
+            s1 = TSphere(1.0, material=tmatl.glass["ideal"])
+            s2 = TSphere(1.0, material=tmatl.glass["ideal"]).move_x(0.8)
+            blob = tcsg.union(s1, s2)
+            stop = tcomp.aperture(size=(4.0, 4.0), aperture_size=1.2).move_x(2.2)
+            det = tcomp.baffle((6.0, 6.0)).move_x(4.0)
+            src = tcomp.LineOfRays(1.2).move_x(-2.0)
+            return [src], [blob, stop, det]
+
+        def build_ref():
+            s1 = ref_cg.Sphere(1.0, material=ref_matl.glass["ideal"])
+            s2 = ref_cg.Sphere(1.0, material=ref_matl.glass["ideal"]).move_x(0.8)
+            blob = ref_cg.csg.union(s1, s2)
+            stop = reference.components.aperture(
+                size=(4.0, 4.0), aperture_size=1.2
+            ).move_x(2.2)
+            det = reference.components.baffle((6.0, 6.0)).move_x(4.0)
+            src = reference.components.LineOfRays(1.2).move_x(-2.0)
+            return [src], [blob, stop, det]
+
+        srcs, system = build_ours()
+        ours = pyrayt_tpu.RayTracer(
+            srcs, system, rays_per_source=20, generation_limit=12
+        ).trace()
+        rsrcs, rsystem = build_ref()
+        ref = reference.RayTracer(
+            rsrcs, rsystem, rays_per_source=20, generation_limit=12
+        ).trace()
+        assert_frames_match(ours, ref)
+
+        # physics sanity: rays refract on entry (generation 1 segments run
+        # inside the glass at n=1.5) and the union presents ONE solid —
+        # no ray records an interior boundary between the two spheres
+        # (an entered ray's next surface is an exit, with index back to 1)
+        g1 = ours[ours["generation"] == 1]
+        assert (g1["index"] > 1.4).any()
+        g2 = ours[ours["generation"] == 2]
+        assert np.allclose(g2["index"], 1.0, atol=1e-6)
+
+
 def test_frame_dtypes_and_columns(reference):
     """Column names, order, and float32 dtype match the reference frame."""
     lens = tcomp.biconvex_lens(2, 2, 0.25, aperture=1)
@@ -194,6 +341,45 @@ def test_frame_dtypes_and_columns(reference):
 
     assert list(ours.columns) == list(ref.columns)
     assert all(ours.dtypes == np.float32)
+
+
+class TestF32ReferenceParity:
+    """Production-dtype parity (VERDICT round 2, next #7): the collimator
+    traced at float32 against the reference's float64 frame.  Row count and
+    segment structure must be EXACTLY equal (f32 must not change which
+    segments exist); physical columns match at f32-appropriate tolerance."""
+
+    def test_collimator_f32_vs_reference_f64(self, reference):
+        with jax.enable_x64(False):
+            lens = tcomp.biconvex_lens(2, 2, 0.25, aperture=1)
+            focus = pyrayt_tpu.lensmakers_equation(2, -2, 1.5, 0.25)
+            source = tcomp.ConeOfRays(cone_angle=6).move_x(-focus)
+            baffle = tcomp.baffle((1, 1)).move_x(1)
+            ours = pyrayt_tpu.RayTracer(
+                source, [lens, baffle], rays_per_source=50, generation_limit=100
+            ).trace()
+
+        ref_lens = reference.components.biconvex_lens(2, 2, 0.25, aperture=1)
+        ref_source = reference.components.ConeOfRays(cone_angle=6).move_x(
+            -pyrayt_tpu.lensmakers_equation(2, -2, 1.5, 0.25)
+        )
+        ref_baffle = reference.components.baffle((1, 1)).move_x(1)
+        tracer = reference.RayTracer(ref_source, [ref_lens, ref_baffle])
+        tracer.set_rays_per_source(50)
+        tracer.set_generation_limit(100)
+        ref = tracer.trace()
+
+        # structure is exact: same rows, same (generation, id) pairs, and
+        # the surface correspondence is the same bijection as at f64
+        assert len(ours) == len(ref) == 150
+        o = ours.sort_values(["generation", "id"]).reset_index(drop=True)
+        r = ref.sort_values(["generation", "id"]).reset_index(drop=True)
+        np.testing.assert_array_equal(
+            o[["generation", "id"]].to_numpy(), r[["generation", "id"]].to_numpy()
+        )
+        # f32 tolerance: trig/refraction chains at coordinates ~1 keep
+        # ~1e-5 absolute accuracy (measured headroom ~4x)
+        assert_frames_match(ours, ref, atol=5e-5)
 
 
 class TestNotebookImager:

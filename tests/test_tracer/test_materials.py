@@ -166,3 +166,30 @@ class TestDispersionThroughTrace:
         assert red_z != blue_z
         # both deflected off the straight-through line, blue further
         assert abs(blue_z - z0) > abs(red_z - z0) > 0.01
+
+
+class TestMaterialImmutability:
+    """Materials hash by dispersion value (_ValueIdentity) and key compile
+    caches and compile_scene's slot map, so the values must be frozen after
+    construction (advisor round 2)."""
+
+    def test_sellmeier_coeffs_read_only(self):
+        g = materials.SellmeierRefractor(b1=4 / 3)
+        assert g.b1 == 4 / 3
+        with pytest.raises(AttributeError):
+            g.b1 = 2.0
+        with pytest.raises(AttributeError):
+            g.c3 = 1.0
+
+    def test_basic_refractor_read_only(self):
+        g = materials.BasicRefractor(1.5)
+        assert g.refractive_index == 1.5
+        with pytest.raises(AttributeError):
+            g.refractive_index = 1.6
+
+    def test_hash_stable_and_value_equal(self):
+        a = materials.SellmeierRefractor(b1=1.0, c1=0.01)
+        b = materials.SellmeierRefractor(b1=1.0, c1=0.01)
+        assert a == b and hash(a) == hash(b)
+        c = materials.SellmeierRefractor(b1=2.0, c1=0.01)
+        assert a != c
