@@ -206,6 +206,288 @@ def main():
     )
 
 
+def gradient_main():
+    """Gradient-path benchmark (PYRAYT_BENCH_MODE=gradient or --gradient).
+
+    The north star is *gradient-driven* lens design: this measures
+    ``value_and_grad`` of RMS spot size through the full trace (the XLA
+    scan engine — the fused kernel is forward-only) in rays/s of device
+    time, fwd+bwd.  Chains K data-dependent evaluations in one dispatch,
+    same methodology as the forward bench.  Set PYRAYT_BENCH_REMAT=0 to
+    measure the non-rematerialized baseline.
+    """
+    import numpy as np
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.analysis.metrics import rms_spot_radius
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.tracer import engine
+
+    remat = os.environ.get("PYRAYT_BENCH_REMAT", "1") != "0"
+
+    lens = comp.thick_lens(
+        r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    detector = comp.baffle((1.0, 1.0)).move_x(1.0)
+    source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+    scene = compile_scene([lens, detector])
+    config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True, remat=remat)
+    trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+    rays = source.generate_rays(N_RAYS)
+
+    def loss(params, rays):
+        return rms_spot_radius(trace(params, rays))
+
+    grad_fn = jax.value_and_grad(loss)
+
+    @jax.jit
+    def chained(params, rays0):
+        def body(i, acc):
+            r = rays0.replace(positions=rays0.positions + i * 1e-30)
+            value, grads = grad_fn(params, r)
+            flat = jax.tree_util.tree_leaves(grads)
+            return acc + value + sum(jnp.sum(g) * 1e-30 for g in flat)
+
+        return lax.fori_loop(0, CHAIN, body, jnp.asarray(0.0, rays0.positions.dtype))
+
+    out = chained(scene.params, rays)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(scene.params, rays)))
+        best = min(best, time.perf_counter() - t0)
+    device_per_step = best / CHAIN
+    grad_rays_per_second = N_RAYS / device_per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "gradient_rays_per_second",
+                "value": round(grad_rays_per_second),
+                "unit": "rays/s fwd+bwd (value_and_grad of RMS spot size, device time)",
+                # reference counterpart is the scipy FD loop in
+                # lens_design.ipynb cells 28-33: one FD gradient of P params
+                # costs (P+1) traces; vs_baseline is vs our own forward
+                # north-star floor for lack of any reference number
+                "vs_baseline": round(grad_rays_per_second / 100e6, 4),
+                "device_ms_per_grad_step": round(device_per_step * 1e3, 3),
+                "remat": remat,
+                "n_rays": N_RAYS,
+                "generation_limit": GENERATIONS,
+                "engine": "xla-scan",
+            }
+        )
+    )
+
+
+def verify_main():
+    """Fused-vs-XLA disagreement measurement on real hardware
+    (PYRAYT_BENCH_MODE=verify or --verify; VERDICT round 2, next #5).
+
+    The interpret-mode unit tests prove the kernel computes the same math
+    as the XLA engine bit-for-bit under the same compiler.  On TPU the two
+    paths are compiled by different stacks (Mosaic vs XLA) whose f32
+    contraction differs, so edge-grazing rays can pick different branches.
+    This mode traces the 1M-ray condenser through BOTH engines on the
+    attached chip, computes the per-ray disagreement rate ON DEVICE (one
+    scalar fetch — the relay's 40 MB/s fetch path never sees the frames),
+    and asserts the documented bound.  Cited by ops/fused_trace.py.
+    """
+    import numpy as np
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_trace as ft
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.tracer import engine
+
+    lens = comp.thick_lens(
+        r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    detector = comp.baffle((1.0, 1.0)).move_x(1.0)
+    source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+    scene = compile_scene([lens, detector])
+    config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True)
+    rays = source.generate_rays(N_RAYS)
+
+    fn_x = engine.build_trace_fn(scene.spec, scene.materials, config)
+    fn_f = ft.build_fused_trace_fn(
+        scene.spec, scene.materials, config, interpret=not ft.on_tpu()
+    )
+
+    ATOL = 1e-4  # f32 trace columns at coordinates ~1
+
+    @jax.jit
+    def disagreement(params, rays):
+        rx = fn_x(params, rays)
+        rf = fn_f(params, rays)
+        mask_differs = jnp.any(rx.record_mask != rf.record_mask, axis=0)
+        both = rx.record_mask & rf.record_mask
+        col_differs = jnp.any(
+            jnp.abs(rx.records - rf.records) > ATOL, axis=1
+        )  # (G, n)
+        value_differs = jnp.any(col_differs & both, axis=0)
+        differs = mask_differs | value_differs
+        return (
+            jnp.mean(differs.astype(jnp.float32)),
+            jnp.mean(mask_differs.astype(jnp.float32)),
+        )
+
+    rate, mask_rate = disagreement(scene.params, rays)
+    rate = float(np.asarray(rate))
+    mask_rate = float(np.asarray(mask_rate))
+
+    BOUND = 0.02  # documented: ~1% of rays, all at geometric boundaries
+    print(
+        json.dumps(
+            {
+                "metric": "fused_vs_xla_disagreement_rate",
+                "value": round(rate, 6),
+                "unit": f"fraction of {N_RAYS} condenser rays with any differing record (atol {ATOL})",
+                "vs_baseline": round(rate / BOUND, 4),
+                "mask_disagreement_rate": round(mask_rate, 6),
+                "bound": BOUND,
+                "within_bound": rate <= BOUND,
+                "platform": jax.devices()[0].platform,
+                "interpret_mode": not ft.on_tpu(),
+                "n_rays": N_RAYS,
+                "generation_limit": GENERATIONS,
+            }
+        )
+    )
+    if rate > BOUND:
+        raise SystemExit(f"disagreement rate {rate} exceeds bound {BOUND}")
+
+
+def profile_main():
+    """Profiling mode (PYRAYT_BENCH_MODE=profile or --profile).
+
+    Replaces the hand-counted OPS_PER_RAY_GEN constant with *measured*
+    quantities (VERDICT round 2, next #3):
+
+    * work: FLOPs + transcendentals from XLA's own cost analysis of the
+      compiled XLA-engine trace program (the fused Pallas kernel computes
+      the same physics per generation, minus dead generations);
+    * time: the chained device-time measurement from the headline bench;
+    * live work fraction: generations_run and per-generation living-ray
+      counts from the actual trace (not an assumed constant);
+    * artifact: a jax.profiler trace (XProf .xplane.pb) under
+      bench_profiles/ when the backend supports capture.
+
+    Prints one JSON line with measured VPU utilization for both engines.
+    """
+    import numpy as np
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_trace as ft
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.tracer import engine
+
+    lens = comp.thick_lens(
+        r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    detector = comp.baffle((1.0, 1.0)).move_x(1.0)
+    source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+    scene = compile_scene([lens, detector])
+    config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True)
+    rays = source.generate_rays(N_RAYS)
+
+    # --- measured work: XLA cost analysis of the scan-engine program ---
+    xla_fn = engine.build_trace_fn(scene.spec, scene.materials, config)
+    compiled = jax.jit(xla_fn).lower(scene.params, rays).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0]
+    flops_total = float(cost.get("flops", float("nan")))
+    transcendentals = float(cost.get("transcendentals", 0.0))
+    bytes_accessed = float(cost.get("bytes accessed", float("nan")))
+    ops_per_ray_gen = (flops_total + transcendentals) / (N_RAYS * GENERATIONS)
+
+    # --- measured liveness: how much of the padded work is real ---
+    result = xla_fn(scene.params, rays)
+    live_per_gen = np.asarray(jnp.sum(result.record_mask, axis=1))
+    gens_run = int(result.generations_run)
+    live_fraction = float(live_per_gen.sum()) / (N_RAYS * GENERATIONS)
+
+    # --- measured time: same chained-dispatch methodology as main() ---
+    def device_time(fn):
+        @jax.jit
+        def chained(params, rays0):
+            def body(i, acc):
+                r = fn(params, rays0.replace(positions=rays0.positions + i * 1e-30))
+                return acc + r.records[0, 0, 0] + r.final_rays.positions[0, 0]
+
+            return lax.fori_loop(
+                0, CHAIN, body, jnp.asarray(0.0, rays0.positions.dtype)
+            )
+
+        out = chained(scene.params, rays)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(scene.params, rays)))
+            best = min(best, time.perf_counter() - t0)
+        return best / CHAIN
+
+    xla_s = device_time(xla_fn)
+    fused_s = None
+    if ft.supports_fused(scene.spec) and ft.on_tpu():
+        fused_s = device_time(
+            ft.build_fused_trace_fn(scene.spec, scene.materials, config)
+        )
+
+    # --- optional XProf artifact ---
+    profile_dir = os.path.join(os.path.dirname(__file__), "bench_profiles")
+    artifact = None
+    try:
+        os.makedirs(profile_dir, exist_ok=True)
+        with jax.profiler.trace(profile_dir):
+            jax.block_until_ready(xla_fn(scene.params, rays))
+        produced = []
+        for root, _, files in os.walk(profile_dir):
+            produced += [os.path.join(root, f) for f in files if "xplane" in f]
+        artifact = max(produced, key=os.path.getmtime) if produced else None
+    except Exception as exc:  # relay backends may refuse capture
+        artifact = f"capture-failed: {type(exc).__name__}"
+
+    # nominal v5e VPU: 4 MACs/ALU-lane-cycle x 8 sublanes x 128 lanes x
+    # ~940 MHz ~= 3.9e12 f32 element-ops/s; we report against 4e12
+    PEAK_OPS = 4.0e12
+    out = {
+        "metric": "measured_vpu_utilization",
+        "value": round((flops_total + transcendentals) / xla_s / PEAK_OPS, 4),
+        "unit": "fraction of 4 Tops/s f32 VPU (XLA engine, cost-analysis FLOPs)",
+        "vs_baseline": None,
+        "ops_per_ray_generation_measured": round(ops_per_ray_gen, 1),
+        "transcendentals_per_ray_generation": round(
+            transcendentals / (N_RAYS * GENERATIONS), 2
+        ),
+        "bytes_accessed_per_ray_generation": round(
+            bytes_accessed / (N_RAYS * GENERATIONS), 1
+        ),
+        "generations_run": gens_run,
+        "live_work_fraction": round(live_fraction, 4),
+        "xla_engine_ms": round(xla_s * 1e3, 3),
+        "platform": jax.devices()[0].platform,
+        "profile_artifact": artifact,
+    }
+    if fused_s is not None:
+        # the fused kernel does the same per-generation math but exits
+        # after the last living generation: utilization counts only the
+        # generations it actually ran
+        fused_ops = ops_per_ray_gen * N_RAYS * gens_run
+        out["fused_kernel_ms"] = round(fused_s * 1e3, 3)
+        out["fused_vpu_utilization"] = round(fused_ops / fused_s / PEAK_OPS, 4)
+    print(json.dumps(out))
+
+
 def scaling_main():
     """Scaling-efficiency mode (PYRAYT_BENCH_MODE=scaling or --scaling).
 
@@ -280,7 +562,14 @@ def scaling_main():
 if __name__ == "__main__":
     import sys
 
-    if os.environ.get("PYRAYT_BENCH_MODE") == "scaling" or "--scaling" in sys.argv:
+    mode = os.environ.get("PYRAYT_BENCH_MODE", "")
+    if mode == "scaling" or "--scaling" in sys.argv:
         scaling_main()
+    elif mode == "gradient" or "--gradient" in sys.argv:
+        gradient_main()
+    elif mode == "profile" or "--profile" in sys.argv:
+        profile_main()
+    elif mode == "verify" or "--verify" in sys.argv:
+        verify_main()
     else:
         main()

@@ -25,8 +25,10 @@ tests/test_ops/test_fused_trace.py (interpret mode, bit-exact) and the
 dispatch from :func:`pyrayt_tpu.tracer.engine.trace_rays` is covered there
 too.  On TPU hardware the two paths may pick different branches for
 edge-grazing rays (different f32 contraction between Mosaic and XLA); the
-disagreement rate on the 1M-ray condenser trace is ~1% of rays, all at
-geometric boundaries (measured; see tests).
+disagreement is measured, reproducibly, by ``bench.py --verify`` (run on
+the attached chip; it asserts the rate stays under 2% of the 1M-ray
+condenser trace and reports the current number — see BENCH artifacts /
+docs/design_notes.md for the last measured value).
 
 Scope: forward tracing only (the kernel is not reverse-mode
 differentiable); gradient work uses the XLA engine path.  Supported when

@@ -17,6 +17,10 @@ from pyrayt_tpu.parallel.mesh import (
     rayset_sharding,
     shard_rayset,
 )
+from pyrayt_tpu.parallel.surfaces import (
+    build_surface_sharded_nearest_hit,
+    pad_leaf_tables,
+)
 from pyrayt_tpu.parallel.trace import (
     build_sharded_trace_fn,
     build_train_step,
@@ -32,6 +36,8 @@ __all__ = [
     "rayset_sharding",
     "shard_rayset",
     "build_sharded_trace_fn",
+    "build_surface_sharded_nearest_hit",
     "build_train_step",
+    "pad_leaf_tables",
     "sharded_trace",
 ]
