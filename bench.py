@@ -210,11 +210,16 @@ def gradient_main():
     """Gradient-path benchmark (PYRAYT_BENCH_MODE=gradient or --gradient).
 
     The north star is *gradient-driven* lens design: this measures
-    ``value_and_grad`` of RMS spot size through the full trace (the XLA
-    scan engine — the fused kernel is forward-only) in rays/s of device
-    time, fwd+bwd.  Chains K data-dependent evaluations in one dispatch,
-    same methodology as the forward bench.  Set PYRAYT_BENCH_REMAT=0 to
-    measure the non-rematerialized baseline.
+    ``value_and_grad`` of RMS spot size through the full trace in rays/s
+    of device time, fwd+bwd.  Chains K data-dependent evaluations in one
+    dispatch, same methodology as the forward bench.
+
+    Engine selection (fastest first):
+    * fused Pallas forward + Pallas backward kernel (ops/fused_grad.py) —
+      default on TPU for supported scenes; PYRAYT_BENCH_FUSED_GRAD=0
+      disables;
+    * XLA scan engine with remat (PYRAYT_BENCH_REMAT=0 for the
+      non-rematerialized baseline).
     """
     import numpy as np
 
@@ -222,6 +227,7 @@ def gradient_main():
     from pyrayt_tpu import materials as matl
     from pyrayt_tpu.analysis.metrics import rms_spot_radius
     from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_grad, fused_trace as ft
     from pyrayt_tpu.scene.compile import compile_scene
     from pyrayt_tpu.tracer import engine
 
@@ -234,7 +240,20 @@ def gradient_main():
     source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
     scene = compile_scene([lens, detector])
     config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True, remat=remat)
-    trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+    use_fused_grad = (
+        os.environ.get("PYRAYT_BENCH_FUSED_GRAD", "1") != "0"
+        and ft.supports_fused(scene.spec)
+        and ft.on_tpu()
+        and fused_grad.bwd_block_rays(config) is not None
+    )
+    if use_fused_grad:
+        trace = fused_grad.build_fused_vjp_trace_fn(
+            scene.spec, scene.materials, config
+        )
+        engine_name = "fused-pallas-vjp"
+    else:
+        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+        engine_name = "xla-scan"
     rays = source.generate_rays(N_RAYS)
 
     def loss(params, rays):
@@ -277,7 +296,7 @@ def gradient_main():
                 "remat": remat,
                 "n_rays": N_RAYS,
                 "generation_limit": GENERATIONS,
-                "engine": "xla-scan",
+                "engine": engine_name,
             }
         )
     )

@@ -37,16 +37,46 @@ def build_objective(
     pyrayt_tpu.analysis.metrics).  Scene rebuilding happens inside the
     trace, under ``fresh_ids`` so the flattened scene spec — and therefore
     the compiled program — is identical every call (no recompilation).
+
+    Engine dispatch follows ``config.use_fused`` exactly like
+    engine.trace_rays, but reverse-mode capable: on TPU, packed-material
+    scenes run the fused Pallas forward + backward kernels
+    (ops/fused_grad.py, ~11x the XLA scan gradient step); everything else
+    differentiates the XLA engine.
     """
+    from pyrayt_tpu.ops import fused_grad
+    from pyrayt_tpu.ops import fused_trace as ft
+
     config = config or TraceConfig(fixed_loop=True)
     if not config.fixed_loop:
         config = TraceConfig(**{**config.__dict__, "fixed_loop": True})
+
+    def _pick_trace(scene, itemsize):
+        use = config.use_fused
+        feasible = (
+            ft.supports_fused(scene.spec)
+            and ft.fused_block_rays(config, itemsize) is not None
+            and fused_grad.bwd_block_rays(config, itemsize) is not None
+        )
+        if use is True and not feasible:
+            raise ValueError(
+                "use_fused=True, but the scene/config is unsupported"
+            )
+        if use is True or (use is None and feasible and ft.on_tpu()):
+            return fused_grad.build_fused_vjp_trace_fn(
+                scene.spec, scene.materials, config, interpret=not ft.on_tpu()
+            )
+        return engine.build_trace_fn(scene.spec, scene.materials, config)
+
+    import jax.numpy as jnp
+
+    itemsize = jnp.dtype(rays.positions.dtype).itemsize
 
     def objective(theta):
         with fresh_ids():
             components = build_fn(theta)
             scene = compile_scene(components)
-        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+        trace = _pick_trace(scene, itemsize)
         return loss_fn(trace(scene.params, rays))
 
     return objective

@@ -1,0 +1,390 @@
+"""Reverse-mode companion to the fused Pallas trace kernel.
+
+The XLA scan engine differentiates by saving (or rematerializing) every
+generation's intermediates through HBM — measured at ~114 ms per
+2^20-ray/6-generation gradient step on v5e, ~25x the fused forward.  This
+module closes that gap with a ``jax.custom_vjp`` whose
+
+* **forward** is the fused Pallas kernel itself (ops/fused_trace.py) — the
+  record buffer it already writes *is* the full per-generation input state
+  (positions = x0..z0 rows, unit directions = tilt rows, metadata rows),
+  so no extra residuals are saved;
+* **backward** is a second Pallas kernel that sweeps the generations in
+  reverse inside VMEM: for each generation it reconstructs the input ray
+  state from the saved record block and applies the VJP of the shared
+  generation step (``jax.vjp`` of ``fused_trace._make_step`` — traced
+  straight into the kernel), chaining ray-state cotangents through the
+  loop and accumulating scene-parameter cotangents as SMEM scalars across
+  grid steps (the TPU grid is sequential, so cross-block accumulation into
+  one SMEM output is race-free).
+
+Gradient contract (matches jax.grad of the XLA engine, asserted in
+tests/test_ops/test_fused_grad.py):
+
+* exact for every ray on all record cotangents — a recorded row's state
+  reconstruction is exact (records are written before masking, and dead
+  rays freeze), the only deviation being one ulp of tilt renormalization;
+* final-ray cotangents flow through the frozen-state identity for rays
+  that died early and exactly for rays alive at the horizon;
+* ``record_mask`` / ``generations_run`` are non-differentiable outputs.
+
+Reference counterpart: none — the reference optimizes via scipy finite
+differences (examples/lens_design.ipynb cells 28-33), re-tracing once per
+parameter per step.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyrayt_tpu import materials as matl
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.core.operations import affine_inverse
+from pyrayt_tpu.ops import fused_trace as ft
+from pyrayt_tpu.scene.compile import SceneSpec
+
+__all__ = ["build_fused_vjp_trace_fn", "bwd_block_rays"]
+
+
+class _Rows:
+    """Ref-like ``obj[s, i]`` view over a nested list of traced scalars, so
+    the shared step can read parameters either from SMEM refs (forward
+    kernel) or from differentiable values (this kernel)."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, idx):
+        s, i = idx
+        return self._rows[s][i]
+
+
+def bwd_block_rays(config: TraceConfig, itemsize: int = 4):
+    """Rays per backward block, or None when VMEM cannot fit one.
+
+    Per-ray rows resident: records + record cotangents (2 x 15G), masks
+    (G), final-state cotangent (13) and state-cotangent output (13), all
+    double-buffered (x2), plus ~140 rows of VJP loop working set."""
+    g = config.generation_limit
+    per_ray = itemsize * (2 * (31 * g + 26) + 140)
+    r = ft._VMEM_BUDGET_BYTES // (per_ray * ft.LANE)
+    r = min(ft._MAX_R, (r // ft._SUBLANE) * ft._SUBLANE)
+    return int(r) if r >= ft._SUBLANE else None
+
+
+def _scalar_tables(ref, n_rows, n_cols):
+    return [[ref[s, i] for i in range(n_cols)] for s in range(n_rows)]
+
+
+def _zeros_like_tables(tables):
+    return jax.tree_util.tree_map(jnp.zeros_like, tables)
+
+
+def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
+                     n_prim_cols: int, n_glass_rows: int):
+    step = ft._make_step(spec, config)
+    S = spec.n_leaves
+
+    def kernel(
+        objtx_ref,
+        prim_ref,
+        glass_ref,
+        rec_ref,      # (G, 15, R, L) saved records
+        mask_ref,     # (G, R, L) float masks
+        drec_ref,     # (G, 15, R, L) record cotangents
+        dfstate_ref,  # (13, R, L) final-state cotangent
+        dobjtx_ref,   # (S, 16) SMEM out, accumulated across grid steps
+        dprim_ref,    # (S, P) SMEM out
+        dglass_ref,   # (M, 7) SMEM out
+        dstate0_ref,  # (13, R, L) cotangent of the initial ray state
+    ):
+        dtype = rec_ref.dtype
+        objtx_vals = _scalar_tables(objtx_ref, S, 16)
+        prim_vals = _scalar_tables(prim_ref, S, n_prim_cols)
+        glass_vals = _scalar_tables(glass_ref, n_glass_rows, matl.N_GLASS_COEFFS)
+
+        def f(ot, pv, gv, carry):
+            return step(_Rows(ot), _Rows(pv), _Rows(gv), carry)
+
+        df = dfstate_ref[:]
+        carry_bar0 = (
+            df[0:3],          # d positions xyz
+            df[4:7],          # d directions xyz
+            df[8],            # d generation
+            df[9],            # d intensity
+            df[10],           # d wavelength
+            df[11],           # d index
+            df[12],           # d id
+            jnp.zeros_like(df[8]),  # d alive (non-diff float mask)
+        )
+        d_ot0 = _zeros_like_tables(objtx_vals)
+        d_pv0 = _zeros_like_tables(prim_vals)
+        d_gv0 = _zeros_like_tables(glass_vals)
+
+        def body(i, loop_carry):
+            carry_bar, d_ot, d_pv, d_gv = loop_carry
+            g = generations - 1 - i
+            rec = rec_ref[pl.ds(g, 1)][0]     # (15, R, L)
+            mask_g = mask_ref[pl.ds(g, 1)][0]
+            drec = drec_ref[pl.ds(g, 1)][0]
+            # input-state reconstruction (see module docstring): positions,
+            # unit directions, and metadata are the record's own rows; the
+            # incoming alive mask is the previous generation's record mask
+            # (all-alive at g == 0).  The forward's extra early-death drop
+            # (will_die) is output-invariant, so omitting it here changes
+            # nothing (absorbed rays recompute dead = True either way).
+            prev_g = jnp.maximum(g - 1, 0)
+            prev_mask = mask_ref[pl.ds(prev_g, 1)][0]
+            alive_f = jnp.where(g == 0, jnp.ones_like(prev_mask), prev_mask)
+            carry_g = (
+                rec[6:9],   # positions x0 y0 z0
+                rec[12:15],  # unit directions (tilt rows)
+                rec[0],     # generation
+                rec[1],     # intensity
+                rec[2],     # wavelength
+                rec[3],     # index
+                rec[4],     # id
+                alive_f,
+            )
+            _, vjp_fn = jax.vjp(f, objtx_vals, prim_vals, glass_vals, carry_g)
+            cot = (carry_bar, drec, jnp.zeros_like(mask_g))
+            g_ot, g_pv, g_gv, d_carry = vjp_fn(cot)
+            d_ot = jax.tree_util.tree_map(jnp.add, d_ot, g_ot)
+            d_pv = jax.tree_util.tree_map(jnp.add, d_pv, g_pv)
+            d_gv = jax.tree_util.tree_map(jnp.add, d_gv, g_gv)
+            return d_carry, d_ot, d_pv, d_gv
+
+        carry_bar, d_ot, d_pv, d_gv = lax.fori_loop(
+            0, generations, body, (carry_bar0, d_ot0, d_pv0, d_gv0)
+        )
+
+        p_bar, v_bar, gen_bar, int_bar, wav_bar, idx_bar, id_bar, _ = carry_bar
+        zero = jnp.zeros_like(gen_bar)
+        dstate0_ref[:] = jnp.concatenate(
+            (
+                p_bar, zero[None],
+                v_bar, zero[None],
+                gen_bar[None], int_bar[None], wav_bar[None],
+                idx_bar[None], id_bar[None],
+            )
+        )
+
+        # parameter cotangents: accumulate across the (sequential) grid
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _init():
+            for s in range(S):
+                for i in range(16):
+                    dobjtx_ref[s, i] = jnp.zeros((), dtype)
+                for i in range(n_prim_cols):
+                    dprim_ref[s, i] = jnp.zeros((), dtype)
+            for m in range(n_glass_rows):
+                for i in range(matl.N_GLASS_COEFFS):
+                    dglass_ref[m, i] = jnp.zeros((), dtype)
+
+        for s in range(S):
+            for i in range(16):
+                dobjtx_ref[s, i] = dobjtx_ref[s, i] + d_ot[s][i]
+            for i in range(n_prim_cols):
+                dprim_ref[s, i] = dprim_ref[s, i] + d_pv[s][i]
+        for m in range(n_glass_rows):
+            for i in range(matl.N_GLASS_COEFFS):
+                dglass_ref[m, i] = dglass_ref[m, i] + d_gv[m][i]
+
+    return kernel
+
+
+@lru_cache(maxsize=64)
+def build_fused_vjp_trace_fn(
+    spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False
+):
+    """``fn(params, rays) -> TraceResult``, same contract as
+    fused_trace.build_fused_trace_fn, but reverse-mode differentiable:
+    ``jax.grad`` of any function of ``result.records`` (and/or
+    ``result.final_rays``) runs the Pallas backward kernel instead of the
+    XLA scan engine's saved-residual path.
+    """
+    from pyrayt_tpu.tracer.engine import N_RECORD_COLS, TraceResult
+    from pyrayt_tpu.tracer.rayset import RaySet
+
+    if not ft.supports_fused(spec):
+        raise ValueError("scene has non-packed materials; use the XLA engine")
+
+    generations = config.generation_limit
+    fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
+    n_mat = len(spec.mat_kinds)
+
+    def _bwd_pallas(params, d_records, d_masks_unused, d_fstate, records, masks):
+        """Run the backward kernel over ray blocks; returns
+        (d_objtx (S,16), d_prim, d_glass, d_state0 (13, n))."""
+        dtype = records.dtype
+        n = records.shape[-1]
+        r_rows = bwd_block_rays(config, jnp.dtype(dtype).itemsize)
+        if r_rows is None:
+            raise ValueError(
+                "generation_limit too large for the backward kernel's VMEM "
+                "budget; differentiate the XLA engine instead"
+            )
+        block = r_rows * ft.LANE
+        n_pad = -(-n // block) * block
+        pad = ((0, 0), (0, 0), (0, n_pad - n))
+
+        def tile(x, spec_pad):
+            x = jnp.pad(x, spec_pad)
+            return x.reshape(x.shape[:-1] + (n_pad // ft.LANE, ft.LANE))
+
+        recs_t = tile(records, pad)
+        drecs_t = tile(d_records, pad)
+        masks_t = tile(masks.astype(dtype), ((0, 0), (0, n_pad - n)))
+        dfstate_t = tile(d_fstate, ((0, 0), (0, n_pad - n)))
+
+        obj_tx = affine_inverse(params["world"]).reshape(spec.n_leaves, 16)
+        prim_p = params["prim"]
+        glass = params["glass"]
+        if glass.shape[0] == 0:
+            glass = jnp.zeros((1, matl.N_GLASS_COEFFS), dtype)
+        n_glass_rows = glass.shape[0]
+        n_prim_cols = prim_p.shape[1]
+
+        kernel = _make_bwd_kernel(
+            spec, config, generations, n_prim_cols, n_glass_rows
+        )
+        grid = (n_pad // block,)
+        d_objtx, d_prim, d_glass, d_state0 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (generations, N_RECORD_COLS, r_rows, ft.LANE),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (generations, r_rows, ft.LANE),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (generations, N_RECORD_COLS, r_rows, ft.LANE),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((spec.n_leaves, 16), dtype),
+                jax.ShapeDtypeStruct((spec.n_leaves, n_prim_cols), dtype),
+                jax.ShapeDtypeStruct((n_glass_rows, matl.N_GLASS_COEFFS), dtype),
+                jax.ShapeDtypeStruct((13, n_pad // ft.LANE, ft.LANE), dtype),
+            ),
+            interpret=interpret,
+        )(
+            obj_tx.astype(dtype),
+            prim_p.astype(dtype),
+            glass.astype(dtype),
+            recs_t,
+            masks_t,
+            drecs_t,
+            dfstate_t,
+        )
+        d_state0 = d_state0.reshape(13, n_pad)[:, :n]
+        return d_objtx, d_prim, d_glass, d_state0
+
+    @jax.custom_vjp
+    def trace(params, initial_rays: RaySet) -> TraceResult:
+        return fwd_fn(params, initial_rays)
+
+    def trace_fwd(params, initial_rays):
+        result = fwd_fn(params, initial_rays)
+        return result, (params, initial_rays, result.records, result.record_mask)
+
+    def trace_bwd(residuals, g: TraceResult):
+        params, initial_rays, records, masks = residuals
+        dtype = records.dtype
+
+        def _cot(x, shape):
+            # float0 / None cotangents (bool + int outputs) become zeros
+            if x is None or (hasattr(x, "dtype") and x.dtype == jax.dtypes.float0):
+                return jnp.zeros(shape, dtype)
+            return jnp.asarray(x, dtype)
+
+        d_records = _cot(g.records, records.shape)
+        n = records.shape[-1]
+        fr = g.final_rays
+        d_fstate = jnp.concatenate(
+            (
+                _cot(fr.positions, (4, n)),
+                _cot(fr.directions, (4, n)),
+                _cot(fr.generation, (n,))[None],
+                _cot(fr.intensity, (n,))[None],
+                _cot(fr.wavelength, (n,))[None],
+                _cot(fr.index, (n,))[None],
+                _cot(fr.id, (n,))[None],
+            )
+        )
+        d_objtx, d_prim, d_glass, d_state0 = _bwd_pallas(
+            params, d_records, None, d_fstate, records, masks
+        )
+
+        # chain through the outside-kernel pre-processing: obj_tx =
+        # affine_inverse(world).reshape(S, 16)
+        _, inv_vjp = jax.vjp(
+            lambda w: affine_inverse(w).reshape(spec.n_leaves, 16),
+            params["world"],
+        )
+        (d_world,) = inv_vjp(d_objtx.astype(params["world"].dtype))
+
+        d_glass_out = d_glass.astype(params["glass"].dtype)
+        if params["glass"].shape[0] == 0:
+            d_glass_out = jnp.zeros_like(params["glass"])
+        else:
+            d_glass_out = d_glass_out[: params["glass"].shape[0]]
+
+        d_params = dict(params)
+        d_params["world"] = d_world
+        d_params["prim"] = d_prim.astype(params["prim"].dtype)
+        d_params["glass"] = d_glass_out
+        # any additional params-pytree leaves are not consumed by the
+        # kernel: zero cotangents
+        for key in params:
+            if key not in ("world", "prim", "glass"):
+                d_params[key] = jax.tree_util.tree_map(
+                    jnp.zeros_like, params[key]
+                )
+
+        rd = initial_rays.positions.dtype
+        d_rays = initial_rays.replace(
+            positions=d_state0[0:4].astype(rd),
+            directions=d_state0[4:8].astype(rd),
+            generation=d_state0[8].astype(rd),
+            intensity=d_state0[9].astype(rd),
+            wavelength=d_state0[10].astype(rd),
+            index=d_state0[11].astype(rd),
+            id=d_state0[12].astype(rd),
+        )
+        return d_params, d_rays
+
+    trace.defvjp(trace_fwd, trace_bwd)
+    return jax.jit(trace)

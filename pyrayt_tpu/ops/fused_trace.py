@@ -30,8 +30,9 @@ the attached chip; it asserts the rate stays under 2% of the 1M-ray
 condenser trace and reports the current number — see BENCH artifacts /
 docs/design_notes.md for the last measured value).
 
-Scope: forward tracing only (the kernel is not reverse-mode
-differentiable); gradient work uses the XLA engine path.  Supported when
+Scope: this kernel is forward-only; reverse mode lives in
+ops/fused_grad.py, whose custom_vjp reuses this forward unchanged and
+sweeps the generations backward in a second Pallas kernel.  Supported when
 every material is packed (absorber / mirror / glass — reference
 materials.py has no others; custom Python materials fall back to XLA).
 """
@@ -244,7 +245,14 @@ from pyrayt_tpu.core.intervals import (  # noqa: E402  (grouped with kin)
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
+def _make_step(spec: SceneSpec, config: TraceConfig):
+    """The generation step over in-VMEM ray tiles, shared by the forward
+    kernel (below) and the reverse-mode kernel (ops/fused_grad.py).
+
+    ``objtx_ref`` / ``prim_ref`` / ``glass_ref`` only need ``obj[s, i]``
+    scalar indexing — SMEM refs in the forward kernel, nested traced-scalar
+    tables (differentiable) in the backward kernel.
+    """
     # local import: engine <-> fused_trace is one-way at runtime (engine's
     # trace_rays dispatches here); _eval_tree is pure jnp shared logic used
     # by the general (non-interval) CSG fallback
@@ -396,6 +404,12 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
             record,
             mask_f,
         )
+
+    return step
+
+
+def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
+    step = _make_step(spec, config)
 
     def kernel(state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref):
         state = state_ref[:]

@@ -83,9 +83,14 @@ def build_sharded_trace_fn(
     return jax.jit(base, in_shardings=in_shardings)
 
 
-def _build_shard_mapped_fused(scene, config, mesh, ft):
+def _build_shard_mapped_fused(scene, config, mesh, ft, vjp: bool = False):
     """shard_map the fused kernel: per-shard traces, zero collectives except
     the pmax of generations_run.
+
+    ``vjp=True`` wraps the reverse-mode variant (ops/fused_grad.py): the
+    shard_map transpose then inserts the psum of per-shard parameter
+    cotangents automatically, which is the entire gradient communication of
+    this domain (O(#scene params) scalars over ICI).
 
     The interpret-vs-Mosaic choice is made at *call* time, not build time: a
     fn built before TPU initialization must still run compiled once a TPU is
@@ -114,15 +119,26 @@ def _build_shard_mapped_fused(scene, config, mesh, ft):
     )
 
     def build(interpret: bool):
-        fused = ft.build_fused_trace_fn(
-            scene.spec, scene.materials, config, interpret=interpret
-        )
+        if vjp:
+            from pyrayt_tpu.ops import fused_grad
+
+            fused = fused_grad.build_fused_vjp_trace_fn(
+                scene.spec, scene.materials, config, interpret=interpret
+            )
+        else:
+            fused = ft.build_fused_trace_fn(
+                scene.spec, scene.materials, config, interpret=interpret
+            )
 
         def local_trace(params, rays):
             result = fused(params, rays)
+            # max-reduce generations_run across the mesh.  all_gather + max
+            # instead of pmax: pmax has no differentiation rule, and the
+            # vjp variant linearizes the whole program even though this
+            # integer output carries no tangent.  Cost: axis_size ints.
             gens = result.generations_run
             for name in axes:
-                gens = jax.lax.pmax(gens, name)
+                gens = jnp.max(jax.lax.all_gather(gens, name))
             return result.replace(generations_run=gens)
 
         mapped = shard_map(
@@ -175,6 +191,7 @@ def build_train_step(
     loss_fn: Callable[[engine.TraceResult], jnp.ndarray],
     learning_rate: float = 1e-2,
     param_filter: Optional[Callable[[dict], dict]] = None,
+    use_fused: Optional[bool] = None,
 ):
     """Build the jitted distributed optimization step.
 
@@ -183,13 +200,34 @@ def build_train_step(
     ``grad(loss ∘ trace)`` with rays sharded over the mesh and applies one
     SGD update, returning ``(new_params, loss)``.  All reductions (the
     scalar loss and every parameter gradient) are mesh-wide psums inserted
-    by XLA from the sharding annotations.
+    by XLA from the sharding annotations (XLA engine) or by the shard_map
+    transpose (fused path).
+
+    ``use_fused`` selects the fused Pallas forward + backward kernels
+    (ops/fused_grad.py — measured 11x the XLA scan gradient step on v5e):
+    ``None`` picks them automatically on TPU for supported scenes, ``True``
+    forces (raises if unsupported), ``False`` keeps the XLA engine.
 
     ``param_filter`` masks which parameter pytree leaves receive updates
     (by zeroing gradient entries), e.g. to optimize only lens transforms.
     """
+    from pyrayt_tpu.ops import fused_grad
+    from pyrayt_tpu.ops import fused_trace as ft
+
     cfg = TraceConfig(**{**config.__dict__, "fixed_loop": True})
-    trace = engine.build_trace_fn(scene.spec, scene.materials, cfg)
+    if use_fused is None:
+        use_fused = cfg.use_fused
+    feasible = (
+        ft.supports_fused(scene.spec)
+        and ft.fused_block_rays(cfg) is not None
+        and fused_grad.bwd_block_rays(cfg) is not None
+    )
+    if use_fused is True and not feasible:
+        raise ValueError("use_fused=True, but the scene/config is unsupported")
+    if use_fused is True or (use_fused is None and feasible and ft.on_tpu()):
+        trace = _build_shard_mapped_fused(scene, cfg, mesh, ft, vjp=True)
+    else:
+        trace = engine.build_trace_fn(scene.spec, scene.materials, cfg)
 
     def loss_of(params, rays):
         return loss_fn(trace(params, rays))

@@ -40,14 +40,12 @@ from pyrayt_tpu.core.intervals import (
     tree_supports_intervals,
 )
 from pyrayt_tpu.core.operations import (
-    TRANSFORM_PRECISION,
     _norm_rows,
     _sum_rows,
     affine_inverse,
     reflect,
     refract,
     safe_normalize,
-    transform_rays,
 )
 from pyrayt_tpu.scene.compile import LEAF, OP_BY_NAME, CompiledScene, SceneSpec
 from pyrayt_tpu.tracer.rayset import RaySet
@@ -72,18 +70,36 @@ class TraceResult:
 # ---------------------------------------------------------------------------
 
 
+def _local_xyz_rays(m, rays):
+    """Object-space (2, 3, n) xyz rays via unrolled scalar FMAs.
+
+    ``m`` is one (4, 4) affine object transform (last row 0,0,0,1 — true
+    for every transform the builders produce).  Unrolling beats an einsum
+    here twice over: a K=4 contraction gains nothing from the MXU, and at
+    full f32 precision XLA decomposes the einsum into multi-pass
+    convolutions (measured: 28 convolution ops in the gradient HLO) while
+    FMAs stay single-pass exact and fuse into the intersectors.
+    """
+    p, v = rays[0], rays[1]
+    lo = jnp.stack(
+        [m[i, 0] * p[0] + m[i, 1] * p[1] + m[i, 2] * p[2] + m[i, 3] * p[3]
+         for i in range(3)]
+    )
+    ld = jnp.stack(
+        [m[i, 0] * v[0] + m[i, 1] * v[1] + m[i, 2] * v[2] for i in range(3)]
+    )
+    return jnp.stack((lo, ld))
+
+
 def _leaf_hits(spec: SceneSpec, params, rays):
     """Intersect all rays against every leaf. Returns a list of (2, n) hits.
 
-    The object-space transform of all leaves is one batched matmul — the
-    reference does this per surface per generation (world_objects.py:367).
+    All leaves transform in one pass over the ray arrays — the reference
+    does this per surface per generation (world_objects.py:367).
     """
     obj_tx = affine_inverse(params["world"])  # (S, 4, 4)
-    local = jnp.einsum(
-        "sij,rjn->srin", obj_tx, rays, precision=TRANSFORM_PRECISION
-    )
     return [
-        prim.leaf_intersect(t, local[s], params["prim"][s])
+        prim.leaf_intersect(t, _local_xyz_rays(obj_tx[s], rays), params["prim"][s])
         for s, t in enumerate(spec.leaf_types)
     ], obj_tx
 
@@ -168,10 +184,30 @@ def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
         ]:
             continue
         mask = hit_leaf == s
-        local_points = transform_rays(obj_tx[s], hit_points)
+        m = obj_tx[s]
+        # unrolled FMAs (see _local_xyz_rays); affine: last row (0,0,0,1)
+        local_points = jnp.stack(
+            [
+                m[0, 0] * hit_points[0] + m[0, 1] * hit_points[1]
+                + m[0, 2] * hit_points[2] + m[0, 3] * hit_points[3],
+                m[1, 0] * hit_points[0] + m[1, 1] * hit_points[1]
+                + m[1, 2] * hit_points[2] + m[1, 3] * hit_points[3],
+                m[2, 0] * hit_points[0] + m[2, 1] * hit_points[1]
+                + m[2, 2] * hit_points[2] + m[2, 3] * hit_points[3],
+                hit_points[3],
+            ]
+        )
         local_normals = prim.leaf_normal(type_code, local_points, params["prim"][s])
-        world = transform_rays(obj_tx[s].T, local_normals)
-        world = prim._zero_w(world)
+        # inverse-transpose (w dropped): world_i = sum_j m[j][i] ln_j
+        world = jnp.stack(
+            [
+                m[0, i] * local_normals[0]
+                + m[1, i] * local_normals[1]
+                + m[2, i] * local_normals[2]
+                for i in range(3)
+            ]
+            + [jnp.zeros_like(local_normals[0])]
+        )
         # clamp the sqrt *argument* so reverse-mode stays NaN-free at
         # zero-length normals (see core.operations.safe_normalize)
         sq = _sum_rows(world * world)
@@ -401,8 +437,9 @@ def trace_rays(
     custom Python materials, VMEM-infeasible generation limits, or
     ``config.use_fused=False`` — runs the XLA engine.  The backend check
     happens here at call time, never baked into a cache.  Gradient users
-    compose with :func:`build_trace_fn` directly (the fused kernel is not
-    reverse-mode differentiable).
+    compose with :func:`build_trace_fn` (always differentiable) or
+    :func:`pyrayt_tpu.ops.fused_grad.build_fused_vjp_trace_fn` (the fused
+    kernels, ~11x faster on TPU for packed-material scenes).
     """
     from pyrayt_tpu.ops import fused_trace as ft
 

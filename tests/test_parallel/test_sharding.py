@@ -172,3 +172,33 @@ class TestShardMappedFusedTrace:
         recs_r = np.asarray(reference.records) * mask_r[:, None, :]
         np.testing.assert_allclose(recs_s, recs_r, rtol=1e-12, atol=1e-12)
         assert int(sharded.generations_run) == int(reference.generations_run)
+
+
+def test_fused_vjp_train_step_matches_xla(system):
+    """build_train_step(use_fused=True): the shard-mapped fused forward +
+    backward kernels produce the same update as the XLA scan path (the
+    shard_map transpose psums per-shard parameter cotangents)."""
+    from pyrayt_tpu.analysis.metrics import rms_spot_radius
+
+    scene, source = system
+    mesh = default_mesh(n_devices=8)
+    config = TraceConfig(generation_limit=4, fixed_loop=True)
+
+    step_xla = build_train_step(
+        scene, config, mesh, rms_spot_radius, learning_rate=1e-2, use_fused=False
+    )
+    step_fused = build_train_step(
+        scene, config, mesh, rms_spot_radius, learning_rate=1e-2, use_fused=True
+    )
+
+    rays, _ = pad_rayset(source.generate_rays(64), mesh.size)
+    rays = shard_rayset(rays, mesh)
+
+    px, lx = step_xla(scene.params, rays)
+    pf, lf = step_fused(scene.params, rays)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-12)
+    for key in px:
+        np.testing.assert_allclose(
+            np.asarray(pf[key]), np.asarray(px[key]), rtol=1e-8, atol=1e-12,
+            err_msg=f"params[{key!r}] update differs",
+        )
