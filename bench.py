@@ -171,14 +171,25 @@ def main():
     rays_per_second = N_RAYS / device_per_trace
     ray_generations_per_second = N_RAYS * GENERATIONS / device_per_trace
 
-    # rough compute-efficiency estimate: the condenser generation step is
-    # ~1300 element-ops/ray (counted from the jaxpr; see git history of the
-    # fused-kernel work) and ~3 generations carry live rays before the
-    # early exit — against a nominal ~4 Tops/s f32 VPU on v5e
+    # compute-efficiency from MEASURED constants (bench.py --profile derives
+    # them from XLA cost analysis + the actual trace's liveness; last run:
+    # 211.3 flops+transcendentals per ray-generation, 3 live generations on
+    # this scene) — against a nominal ~4 Tops/s f32 VPU on v5e.  Run
+    # --profile to re-measure; see docs/design_notes.md.
     LIVE_GENERATIONS = 3
-    OPS_PER_RAY_GEN = 1300
+    OPS_PER_RAY_GEN = 211.3
     effective_tops = OPS_PER_RAY_GEN * LIVE_GENERATIONS * N_RAYS / device_per_trace / 1e12
     vpu_utilization = effective_tops / 4.0
+
+    # gradient path (fwd+bwd rays/s) — the north star is gradient-driven
+    # design, so the headline artifact carries both numbers.  Guarded: a
+    # failure here must never sink the forward headline.
+    gradient_fields = {}
+    if os.environ.get("PYRAYT_BENCH_SKIP_GRADIENT", "0") != "1":
+        try:
+            gradient_fields = _measure_gradient_fields()
+        except Exception as exc:  # pragma: no cover - defensive
+            gradient_fields = {"gradient_error": f"{type(exc).__name__}: {exc}"}
 
     baseline = measure_reference_baseline()
     if baseline == baseline:  # not NaN
@@ -196,14 +207,76 @@ def main():
                 "ray_generations_per_second": round(ray_generations_per_second),
                 "device_ms_per_trace": round(device_per_trace * 1e3, 3),
                 "end_to_end_ms_single_dispatch": round(e2e * 1e3, 3),
-                "estimated_effective_tops": round(effective_tops, 3),
-                "estimated_vpu_utilization": round(vpu_utilization, 3),
+                "effective_tops_measured_flops_basis": round(effective_tops, 4),
+                "vpu_utilization_measured_flops_basis": round(vpu_utilization, 4),
                 "engine": engine_name,
                 "n_rays": N_RAYS,
                 "generation_limit": GENERATIONS,
+                **gradient_fields,
             }
         )
     )
+
+
+def _measure_gradient_fields(chain: int = 5, repeats: int = 2):
+    """Compact fwd+bwd measurement for the headline artifact (the full
+    methodology lives in gradient_main / --gradient)."""
+    import numpy as np
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.analysis.metrics import rms_spot_radius
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_grad, fused_trace as ft
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.tracer import engine
+
+    lens = comp.thick_lens(
+        r1=1.0, r2=-1.0, thickness=0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    detector = comp.baffle((1.0, 1.0)).move_x(1.0)
+    source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
+    scene = compile_scene([lens, detector])
+    config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True, remat=True)
+    if (
+        ft.supports_fused(scene.spec)
+        and ft.on_tpu()
+        and fused_grad.bwd_block_rays(config) is not None
+    ):
+        trace = fused_grad.build_fused_vjp_trace_fn(
+            scene.spec, scene.materials, config
+        )
+        engine_name = "fused-pallas-vjp"
+    else:
+        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+        engine_name = "xla-scan"
+    rays = source.generate_rays(N_RAYS)
+    grad_fn = jax.value_and_grad(
+        lambda params, r: rms_spot_radius(trace(params, r))
+    )
+
+    @jax.jit
+    def chained(params, rays0):
+        def body(i, acc):
+            r = rays0.replace(positions=rays0.positions + i * 1e-30)
+            value, grads = grad_fn(params, r)
+            flat = jax.tree_util.tree_leaves(grads)
+            return acc + value + sum(jnp.sum(g) * 1e-30 for g in flat)
+
+        return lax.fori_loop(0, chain, body, jnp.asarray(0.0, rays0.positions.dtype))
+
+    jax.block_until_ready(chained(scene.params, rays))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(scene.params, rays)))
+        best = min(best, time.perf_counter() - t0)
+    per_step = best / chain
+    return {
+        "gradient_rays_per_second": round(N_RAYS / per_step),
+        "gradient_device_ms_per_step": round(per_step * 1e3, 3),
+        "gradient_engine": engine_name,
+    }
 
 
 def gradient_main():

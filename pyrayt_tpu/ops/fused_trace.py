@@ -23,12 +23,12 @@ major, so host-side order is unchanged).
 Physics parity with engine._generation_step is asserted in
 tests/test_ops/test_fused_trace.py (interpret mode, bit-exact) and the
 dispatch from :func:`pyrayt_tpu.tracer.engine.trace_rays` is covered there
-too.  On TPU hardware the two paths may pick different branches for
-edge-grazing rays (different f32 contraction between Mosaic and XLA); the
-disagreement is measured, reproducibly, by ``bench.py --verify`` (run on
-the attached chip; it asserts the rate stays under 2% of the 1M-ray
-condenser trace and reports the current number — see BENCH artifacts /
-docs/design_notes.md for the last measured value).
+too.  On TPU hardware the two compilers (Mosaic vs XLA) could in principle
+contract f32 differently at geometric edges; ``bench.py --verify`` measures
+the disagreement on the real chip and asserts a 2% bound.  Last measured:
+**0.0%** of the 1M-ray condenser trace at atol 1e-4 (after round 3's
+full-precision scalarized transforms in the XLA engine — the earlier ~1%
+divergence was the engine's bf16-default einsum, not the kernel).
 
 Scope: this kernel is forward-only; reverse mode lives in
 ops/fused_grad.py, whose custom_vjp reuses this forward unchanged and
@@ -75,6 +75,11 @@ _SUBLANE = 8  # f32 sublane granularity
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024  # of ~16 MB/core, leaving compiler slack
 _MAX_R = 64  # 8192 rays per block
 _ZERO_RECORDS = True  # zero-fill skipped generations' records (see kernel)
+# generations per while-loop iteration (tuning knob).  Swept 1/2/3/6 on the
+# v5e condenser: 3.47 / 3.56 / 3.36 / 3.96 ms — all within ±5%; unroll
+# trades scf.while overhead against lost early-exit granularity and the
+# optimum is scene-specific, so the default stays 1 (see design notes).
+_LOOP_UNROLL = 1
 
 
 def on_tpu() -> bool:
@@ -408,7 +413,10 @@ def _make_step(spec: SceneSpec, config: TraceConfig):
     return step
 
 
-def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
+def _make_kernel(
+    spec: SceneSpec, config: TraceConfig, generations: int,
+    static_loop: bool = False,
+):
     step = _make_step(spec, config)
 
     def kernel(state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref):
@@ -426,24 +434,49 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
         )
         # outputs must be defined even for generations the early exit skips
         # (mask zeroing is load-bearing; record zeroing is determinism only —
-        # unwritten generations are always masked out downstream)
-        if _ZERO_RECORDS:
-            rec_ref[:] = jnp.zeros_like(rec_ref)
-        mask_ref[:] = jnp.zeros_like(mask_ref)
+        # unwritten generations are always masked out downstream).  The
+        # static-loop variant writes every generation, so nothing to fill.
+        if not static_loop:
+            if _ZERO_RECORDS:
+                rec_ref[:] = jnp.zeros_like(rec_ref)
+            mask_ref[:] = jnp.zeros_like(mask_ref)
 
-        def cond(loop_carry):
-            g = loop_carry[0]
-            alive_f = loop_carry[-1]
-            return (g < generations) & (jnp.max(alive_f) > 0.5)
+        if static_loop:
+            # experimental variant (bench tuning): every generation runs
+            # unconditionally with static record stores — trades the
+            # early-exit saving for static addressing / better scheduling
+            carry = carry0
+            for g in range(generations):
+                carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, carry)
+                rec_ref[g] = record
+                mask_ref[g] = mask_f
+            final = (None,) + carry
+        else:
+            # the loop body steps UNROLL generations per iteration: the
+            # scf.while carry/branch overhead is ~2x a generation's compute
+            # (measured — see design notes), so amortizing it wins even
+            # though early exit coarsens to UNROLL granularity
+            unroll = _LOOP_UNROLL
+            while generations % unroll:
+                unroll -= 1
 
-        def body(loop_carry):
-            g = loop_carry[0]
-            carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, loop_carry[1:])
-            rec_ref[pl.ds(g, 1)] = record[None]
-            mask_ref[pl.ds(g, 1)] = mask_f[None]
-            return (g + 1,) + carry
+            def cond(loop_carry):
+                g = loop_carry[0]
+                alive_f = loop_carry[-1]
+                return (g < generations) & (jnp.max(alive_f) > 0.5)
 
-        final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
+            def body(loop_carry):
+                g = loop_carry[0]
+                carry = loop_carry[1:]
+                for k in range(unroll):
+                    carry, record, mask_f = step(
+                        objtx_ref, prim_ref, glass_ref, carry
+                    )
+                    rec_ref[pl.ds(g + k, 1)] = record[None]
+                    mask_ref[pl.ds(g + k, 1)] = mask_f[None]
+                return (g + unroll,) + carry
+
+            final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
         _, p3, v3, gen, inten, wav, ridx, rid, _ = final
         ones = jnp.ones_like(gen)
         zeros = jnp.zeros_like(gen)
@@ -460,7 +493,8 @@ def _make_kernel(spec: SceneSpec, config: TraceConfig, generations: int):
 
 @lru_cache(maxsize=64)
 def build_fused_trace_fn(
-    spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False
+    spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False,
+    static_loop: bool = False,
 ):
     """Build the fused-kernel trace: ``fn(params, rays) -> TraceResult``.
 
@@ -478,7 +512,7 @@ def build_fused_trace_fn(
         raise ValueError("scene has non-packed materials; use the XLA engine")
 
     generations = config.generation_limit
-    kernel = _make_kernel(spec, config, generations)
+    kernel = _make_kernel(spec, config, generations, static_loop=static_loop)
 
     @jax.jit
     def trace(params, initial_rays: RaySet) -> TraceResult:

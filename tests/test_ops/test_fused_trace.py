@@ -4,9 +4,9 @@ Runs the Pallas kernel in interpreter mode (CPU, same numerics as the jnp
 engine) and asserts the full TraceResult contract matches
 engine.build_trace_fn across every primitive type, CSG operation, packed
 material, TIR, unaligned ray counts, and generation-limit exhaustion.
-On TPU hardware the kernel is Mosaic-compiled; edge-grazing rays may
-tie-break differently there (~1% of a 1M-ray condenser trace, measured) —
-that regime is exercised by bench.py, not unit tests.
+On TPU hardware the kernel is Mosaic-compiled; ``bench.py --verify``
+measures the on-chip fused-vs-XLA disagreement (last measured 0.0% of the
+1M-ray condenser at atol 1e-4) and asserts a 2% bound.
 """
 
 import jax.numpy as jnp
