@@ -39,6 +39,7 @@ __all__ = [
     "plano_convex_lens",
     "plane_mirror",
     "spherical_mirror",
+    "elliptical_mirror",
     "parabolic_mirror",
     "equilateral_prism",
     "baffle",
@@ -295,6 +296,42 @@ def spherical_mirror(radius: float, thickness: float, **kwargs):
     else:
         mirror_surface = Sphere(r_abs, material=material).move_z(radius)
         aperture_solid.move_z(thickness - total_thickness / 2)
+    return csg.difference(aperture_solid, mirror_surface)
+
+
+@_mirror
+def elliptical_mirror(
+    major_radius: float, minor_radius: float, thickness: float, **kwargs
+):
+    """Elliptical mirror: reflective prolate-spheroid surface on an
+    absorbing aperture solid.
+
+    The reference sketches this factory but ships it commented out
+    (components.py:324-347); this completes that recipe.  Construction: a
+    sphere of radius ``minor_radius`` scaled by ``major_radius /
+    minor_radius`` along the major axis, vertex at the origin.  After the
+    standard mirror rotations the optical axis is +X and the major axis
+    lies along world Z, so the ellipsoid's center is at
+    ``(minor_radius, 0, 0)`` and its two foci sit at ``(minor_radius, 0,
+    +-sqrt(major_radius**2 - minor_radius**2))`` — rays emitted from one
+    focus reflect through the other (pinned by
+    tests/test_tracer/test_components.py).
+    """
+    off_axis = kwargs.get("off_axis")
+    material = kwargs.get("material")
+    aperture_arg = kwargs.get("aperture")
+    if major_radius < minor_radius:
+        raise ValueError("major_radius must be >= minor_radius")
+
+    aperture_thickness = thickness + minor_radius
+    aperture_solid = _create_aperture(aperture_arg, aperture_thickness)
+    aperture_solid.material = matl.absorber
+    aperture_solid.move(*off_axis, 0)
+    aperture_solid.move_z(minor_radius / 2 - thickness)
+
+    mirror_surface = Sphere(minor_radius, material=material)
+    mirror_surface.scale_y(major_radius / minor_radius)
+    mirror_surface.move_z(minor_radius)
     return csg.difference(aperture_solid, mirror_surface)
 
 

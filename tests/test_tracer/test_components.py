@@ -225,3 +225,47 @@ class TestApertureSemantics:
         # at the stop's surfaces
         inner = frame[np.abs(frame["y0"]) < 0.5]
         assert np.allclose(inner["x_tilt"], 1.0)
+
+
+class TestEllipticalMirror:
+    """elliptical_mirror completes the reference's commented-out factory
+    (components.py:324-347).  Physics pin: a prolate-spheroid mirror
+    reflects rays from one focus through the other."""
+
+    def test_focus_to_focus(self):
+        import pyrayt_tpu as pyrayt
+
+        a, b = 2.0, 1.0  # major, minor semi-axes
+        c = np.sqrt(a**2 - b**2)
+        m = components.elliptical_mirror(a, b, thickness=0.2, aperture=1.2)
+        # reflected rays leave the near-vertex patch steeply (-z); a plane
+        # just past the second focus's x catches them
+        det = components.baffle((8.0, 8.0)).move_x(1.2)
+        # source at the focus (b, 0, +c), aimed at the mirror vertex
+        # (origin): direction (-b, 0, -c) normalized -> rotate a narrow
+        # cone onto that axis
+        angle = np.degrees(np.arctan2(c, b))
+        src = (
+            components.ConeOfRays(cone_angle=4.0)
+            .rotate_z(180)
+            .rotate_y(-angle)
+            .move_x(b)
+            .move_z(c)
+        )
+        tracer = pyrayt.RayTracer(src, [m, det], rays_per_source=16,
+                                  generation_limit=6)
+        frame = tracer.trace()
+        g1 = frame[frame["generation"] == 1]
+        assert len(g1) > 8, "most rays must reflect off the ellipsoid"
+        p = g1[["x0", "y0", "z0"]].to_numpy()
+        d = g1[["x_tilt", "y_tilt", "z_tilt"]].to_numpy()
+        other_focus = np.array([b, 0.0, -c])
+        rel = other_focus - p
+        t_star = (rel * d).sum(axis=1)
+        closest = p + t_star[:, None] * d
+        dist = np.linalg.norm(closest - other_focus, axis=1)
+        assert dist.max() < 1e-6, dist.max()
+
+    def test_major_must_dominate(self):
+        with pytest.raises(ValueError, match="major_radius"):
+            components.elliptical_mirror(0.5, 1.0, thickness=0.1)
