@@ -635,17 +635,26 @@ def scaling_main():
         rps[n] = n_rays / best
 
     efficiency = rps[n_devices] / (n_devices * rps[1]) if n_devices > 1 else 1.0
+    platform = jax.devices()[0].platform
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "value": round(efficiency, 4),
-                "unit": f"fraction of linear at {n_devices} devices",
+                "unit": f"fraction of linear at {n_devices} {platform} devices",
                 "vs_baseline": round(efficiency / 0.85, 3),  # BASELINE.md >= 85%
                 "rays_per_second_by_devices": {
                     str(n): round(v) for n, v in rps.items()
                 },
-                "platform": jax.devices()[0].platform,
+                "platform": platform,
+                # unmissable provenance: virtual CPU devices validate the
+                # sharded program's structure, not TPU ICI bandwidth
+                "hardware_note": (
+                    "REAL TPU SLICE"
+                    if platform == "tpu"
+                    else f"VIRTUAL {platform.upper()} DEVICES - path validation "
+                    "only, not accelerator scaling"
+                ),
             }
         )
     )

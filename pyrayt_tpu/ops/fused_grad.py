@@ -160,8 +160,20 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
             d_gv = jax.tree_util.tree_map(jnp.add, d_gv, g_gv)
             return d_carry, d_ot, d_pv, d_gv
 
+        # dynamic trip count: only sweep the generations this block actually
+        # ran.  The forward's early exit means at most one all-dead trailing
+        # generation ran (an all-miss pass), so count(any-mask) + 1 covers
+        # every ran generation; the skipped ones are provable cotangent
+        # no-ops (position cotangents pass by identity, direction
+        # cotangents are re-zeroed at the real death generation).
+        any_g = jnp.stack(
+            [jnp.max(mask_ref[g]) for g in range(generations)]
+        )
+        ran = jnp.minimum(
+            jnp.sum((any_g > 0.5).astype(jnp.int32)) + 1, generations
+        )
         carry_bar, d_ot, d_pv, d_gv = lax.fori_loop(
-            0, generations, body, (carry_bar0, d_ot0, d_pv0, d_gv0)
+            generations - ran, generations, body, (carry_bar0, d_ot0, d_pv0, d_gv0)
         )
 
         p_bar, v_bar, gen_bar, int_bar, wav_bar, idx_bar, id_bar, _ = carry_bar
@@ -221,7 +233,7 @@ def build_fused_vjp_trace_fn(
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
     n_mat = len(spec.mat_kinds)
 
-    def _bwd_pallas(params, d_records, d_masks_unused, d_fstate, records, masks):
+    def _bwd_pallas(params, d_records, d_fstate, records, masks):
         """Run the backward kernel over ray blocks; returns
         (d_objtx (S,16), d_prim, d_glass, d_state0 (13, n))."""
         dtype = records.dtype
@@ -345,7 +357,7 @@ def build_fused_vjp_trace_fn(
             )
         )
         d_objtx, d_prim, d_glass, d_state0 = _bwd_pallas(
-            params, d_records, None, d_fstate, records, masks
+            params, d_records, d_fstate, records, masks
         )
 
         # chain through the outside-kernel pre-processing: obj_tx =
@@ -362,17 +374,12 @@ def build_fused_vjp_trace_fn(
         else:
             d_glass_out = d_glass_out[: params["glass"].shape[0]]
 
-        d_params = dict(params)
+        # zero cotangents for any params-pytree leaves the kernel never
+        # reads, then fill in the three it does
+        d_params = jax.tree_util.tree_map(jnp.zeros_like, params)
         d_params["world"] = d_world
         d_params["prim"] = d_prim.astype(params["prim"].dtype)
         d_params["glass"] = d_glass_out
-        # any additional params-pytree leaves are not consumed by the
-        # kernel: zero cotangents
-        for key in params:
-            if key not in ("world", "prim", "glass"):
-                d_params[key] = jax.tree_util.tree_map(
-                    jnp.zeros_like, params[key]
-                )
 
         rd = initial_rays.positions.dtype
         d_rays = initial_rays.replace(

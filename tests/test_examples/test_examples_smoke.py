@@ -41,3 +41,11 @@ def test_lens_design_smoke(capsys):
     out = capsys.readouterr().out
     assert "doublet" in out
     assert "optimized" in out
+
+
+def test_reflective_beam_expander(capsys):
+    import reflective_beam_expander
+
+    reflective_beam_expander.main(show=False)
+    out = capsys.readouterr().out
+    assert "beam expansion: 4.000x" in out
