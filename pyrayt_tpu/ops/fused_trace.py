@@ -185,11 +185,21 @@ def _leaf_normal_scalar(type_code, points, pr, s):
 
 
 def _index_from_scalars(gr, slot, wavelength):
-    """matl.index_from_coeffs on a [A, b1..b3, c1..c3] row of SMEM scalars."""
+    """matl.index_from_coeffs on a [A, b1..b3, c1..c3] row of SMEM scalars.
+
+    The Sellmeier denominator is guarded at its pole (wl^2 == c): no real
+    trace evaluates there, but the backward kernel's state reconstruction
+    feeds zero-filled dead rows (wavelength 0) through this function, and
+    with c = 0 glasses (constant-index rows) an unguarded 0/0 would emit
+    NaNs that survive multiplication by the rows' zero cotangents and
+    poison the summed glass-parameter gradient.
+    """
     wl2 = wavelength * wavelength
     n2 = gr[slot, 0]
     for i in range(3):
-        n2 = n2 + gr[slot, 1 + i] * wl2 / (wl2 - gr[slot, 4 + i])
+        d = wl2 - gr[slot, 4 + i]
+        d = jnp.where(d == 0, 1.0, d)
+        n2 = n2 + gr[slot, 1 + i] * wl2 / d
     return jnp.sqrt(n2)
 
 

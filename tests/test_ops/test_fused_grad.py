@@ -87,6 +87,38 @@ class TestSpotSizeGradientParity:
         assert float(jnp.abs(jnp.asarray(g_x["glass"])).max()) > 1e-10
 
 
+class TestGeneralCSGGradients:
+    def test_union_blob_grads(self):
+        """Union trees run the comparator-network CSG inside the kernel
+        (not the interval fast path); its min/max vjp must match too."""
+        import pyrayt_tpu.scene.csg as scsg
+        from pyrayt_tpu.scene.surfaces import Sphere
+
+        left = Sphere(1.0, material=matl.glass["ideal"])
+        right = Sphere(1.0, material=matl.glass["ideal"]).move_x(0.8)
+        blob = scsg.union(left, right)
+        det = comp.baffle((6.0, 6.0)).move_x(4.0)
+        scene = compile_scene([blob, det])
+        rays = comp.LineOfRays(1.2).move_x(-2.0).generate_rays(32)
+        config = TraceConfig(generation_limit=5, fixed_loop=True)
+        assert_grads_match(scene, rays, config, rms_spot_radius)
+
+    def test_imager_many_leaf_grads(self):
+        """The notebook imager's 9-leaf system (lens CSG + aperture stop +
+        baffle): parameter gradients through a deeper scene."""
+        glass = matl.glass["BK7"]
+        lens_radius = 2 * (float(glass.index_at(0.532)) - 1) * 50.0
+        lens = comp.thick_lens(
+            lens_radius, -lens_radius, 5.0, aperture=25.4, material=glass
+        )
+        stop = comp.aperture(size=(25.4, 25.4), aperture_size=3.0).move_x(25.0)
+        imager = comp.baffle((25.4, 25.4)).move_x(50.0)
+        scene = compile_scene([lens, stop, imager])
+        rays = comp.CircleOfRays(5.0).move_x(-10).generate_rays(24)
+        config = TraceConfig(generation_limit=6, fixed_loop=True)
+        assert_grads_match(scene, rays, config, rms_spot_radius)
+
+
 class TestFinalRayCotangents:
     def test_loss_on_final_rays(self):
         """Cotangents entering through final_rays flow back through the
