@@ -41,7 +41,7 @@ def build_objective(
     Engine dispatch follows ``config.use_fused`` exactly like
     engine.trace_rays, but reverse-mode capable: on TPU, packed-material
     scenes run the fused Pallas forward + backward kernels
-    (ops/fused_grad.py, ~11x the XLA scan gradient step); everything else
+    (ops/fused_grad.py, ~12x the XLA scan gradient step); everything else
     differentiates the XLA engine.
     """
     from pyrayt_tpu.ops import fused_grad

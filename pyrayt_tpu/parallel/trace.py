@@ -204,7 +204,7 @@ def build_train_step(
     transpose (fused path).
 
     ``use_fused`` selects the fused Pallas forward + backward kernels
-    (ops/fused_grad.py — measured 11x the XLA scan gradient step on v5e):
+    (ops/fused_grad.py — measured 12x the XLA scan gradient step on v5e):
     ``None`` picks them automatically on TPU for supported scenes, ``True``
     forces (raises if unsupported), ``False`` keeps the XLA engine.
 

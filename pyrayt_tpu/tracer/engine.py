@@ -439,7 +439,7 @@ def trace_rays(
     happens here at call time, never baked into a cache.  Gradient users
     compose with :func:`build_trace_fn` (always differentiable) or
     :func:`pyrayt_tpu.ops.fused_grad.build_fused_vjp_trace_fn` (the fused
-    kernels, ~11x faster on TPU for packed-material scenes).
+    kernels, ~12x faster on TPU for packed-material scenes).
     """
     from pyrayt_tpu.ops import fused_trace as ft
 

@@ -119,6 +119,21 @@ class TestGeneralCSGGradients:
         assert_grads_match(scene, rays, config, rms_spot_radius)
 
 
+class TestTIRGradients:
+    def test_prism_tir_grads(self):
+        """Total internal reflection is the sharpest physics branch (the
+        radicand where-switch in refract); its vjp must match through a
+        trace that actually TIRs."""
+        prism = comp.equilateral_prism(
+            1.0, 1.0, material=matl.glass["BK7"]
+        ).rotate_y(-30)
+        det = comp.baffle((20.0, 20.0)).move_x(5.0)
+        scene = compile_scene([prism, det])
+        rays = comp.LineOfRays(0.3).move_x(-2.0).generate_rays(32)
+        config = TraceConfig(generation_limit=8, fixed_loop=True)
+        assert_grads_match(scene, rays, config, rms_spot_radius)
+
+
 class TestFinalRayCotangents:
     def test_loss_on_final_rays(self):
         """Cotangents entering through final_rays flow back through the
