@@ -52,17 +52,7 @@ def build_objective(
         config = TraceConfig(**{**config.__dict__, "fixed_loop": True})
 
     def _pick_trace(scene, itemsize):
-        use = config.use_fused
-        feasible = (
-            ft.supports_fused(scene.spec)
-            and ft.fused_block_rays(config, itemsize) is not None
-            and fused_grad.bwd_block_rays(config, itemsize) is not None
-        )
-        if use is True and not feasible:
-            raise ValueError(
-                "use_fused=True, but the scene/config is unsupported"
-            )
-        if use is True or (use is None and feasible and ft.on_tpu()):
+        if ft.pick_fused(scene.spec, config, itemsize, need_grad=True):
             return fused_grad.build_fused_vjp_trace_fn(
                 scene.spec, scene.materials, config, interpret=not ft.on_tpu()
             )

@@ -69,10 +69,11 @@ def bwd_block_rays(config: TraceConfig, itemsize: int = 4):
     """Rays per backward block, or None when VMEM cannot fit one.
 
     Per-ray rows resident: records + record cotangents (2 x 15G), masks
-    (G), final-state cotangent (13) and state-cotangent output (13), all
-    double-buffered (x2), plus ~140 rows of VJP loop working set."""
+    (G), initial state (13), final-state cotangent (13) and
+    state-cotangent output (13), all double-buffered (x2), plus ~140 rows
+    of VJP loop working set."""
     g = config.generation_limit
-    per_ray = itemsize * (2 * (31 * g + 26) + 140)
+    per_ray = itemsize * (2 * (31 * g + 39) + 140)
     r = ft._VMEM_BUDGET_BYTES // (per_ray * ft.LANE)
     r = min(ft._MAX_R, (r // ft._SUBLANE) * ft._SUBLANE)
     return int(r) if r >= ft._SUBLANE else None
@@ -95,6 +96,7 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
         objtx_ref,
         prim_ref,
         glass_ref,
+        state0_ref,   # (13, R, L) the TRUE initial ray state (see below)
         rec_ref,      # (G, 15, R, L) saved records
         mask_ref,     # (G, R, L) float masks
         drec_ref,     # (G, 15, R, L) record cotangents
@@ -127,6 +129,8 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
         d_pv0 = _zeros_like_tables(prim_vals)
         d_gv0 = _zeros_like_tables(glass_vals)
 
+        s0 = state0_ref[:]
+
         def body(i, loop_carry):
             carry_bar, d_ot, d_pv, d_gv = loop_carry
             g = generations - 1 - i
@@ -135,21 +139,26 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
             drec = drec_ref[pl.ds(g, 1)][0]
             # input-state reconstruction (see module docstring): positions,
             # unit directions, and metadata are the record's own rows; the
-            # incoming alive mask is the previous generation's record mask
-            # (all-alive at g == 0).  The forward's extra early-death drop
-            # (will_die) is output-invariant, so omitting it here changes
-            # nothing (absorbed rays recompute dead = True either way).
+            # incoming alive mask is the previous generation's record mask.
+            # Generation 0 instead uses the TRUE initial state (its record's
+            # tilt rows are *renormalized* directions — a caller passing
+            # non-unit initial directions would otherwise get a backward
+            # linearized at the wrong point).  The forward's extra
+            # early-death drop (will_die) is output-invariant, so omitting
+            # it here changes nothing (absorbed rays recompute dead = True
+            # either way).
             prev_g = jnp.maximum(g - 1, 0)
             prev_mask = mask_ref[pl.ds(prev_g, 1)][0]
-            alive_f = jnp.where(g == 0, jnp.ones_like(prev_mask), prev_mask)
+            is0 = g == 0
+            alive_f = jnp.where(is0, jnp.ones_like(prev_mask), prev_mask)
             carry_g = (
-                rec[6:9],   # positions x0 y0 z0
-                rec[12:15],  # unit directions (tilt rows)
-                rec[0],     # generation
-                rec[1],     # intensity
-                rec[2],     # wavelength
-                rec[3],     # index
-                rec[4],     # id
+                jnp.where(is0, s0[0:3], rec[6:9]),     # positions xyz
+                jnp.where(is0, s0[4:7], rec[12:15]),   # directions
+                jnp.where(is0, s0[8], rec[0]),         # generation
+                jnp.where(is0, s0[9], rec[1]),         # intensity
+                jnp.where(is0, s0[10], rec[2]),        # wavelength
+                jnp.where(is0, s0[11], rec[3]),        # index
+                jnp.where(is0, s0[12], rec[4]),        # id
                 alive_f,
             )
             _, vjp_fn = jax.vjp(f, objtx_vals, prim_vals, glass_vals, carry_g)
@@ -161,17 +170,21 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
             return d_carry, d_ot, d_pv, d_gv
 
         # dynamic trip count: only sweep the generations this block actually
-        # ran.  The forward's early exit means at most one all-dead trailing
-        # generation ran (an all-miss pass), so count(any-mask) + 1 covers
-        # every ran generation; the skipped ones are provable cotangent
+        # ran.  The forward's while loop advances _LOOP_UNROLL generations
+        # per iteration and exits at most one iteration after the last
+        # living mask, so rounding count(any-mask) + 1 up to the unroll
+        # multiple covers every generation whose records were really
+        # written; the skipped ones are zero-filled and provable cotangent
         # no-ops (position cotangents pass by identity, direction
         # cotangents are re-zeroed at the real death generation).
+        u = ft._LOOP_UNROLL
+        while generations % u:
+            u -= 1
         any_g = jnp.stack(
             [jnp.max(mask_ref[g]) for g in range(generations)]
         )
-        ran = jnp.minimum(
-            jnp.sum((any_g > 0.5).astype(jnp.int32)) + 1, generations
-        )
+        count1 = jnp.sum((any_g > 0.5).astype(jnp.int32)) + 1
+        ran = jnp.minimum(-(-count1 // u) * u, generations)
         carry_bar, d_ot, d_pv, d_gv = lax.fori_loop(
             generations - ran, generations, body, (carry_bar0, d_ot0, d_pv0, d_gv0)
         )
@@ -228,12 +241,14 @@ def build_fused_vjp_trace_fn(
 
     if not ft.supports_fused(spec):
         raise ValueError("scene has non-packed materials; use the XLA engine")
+    # never-ran generations' record rows double as this kernel's "state is
+    # zero, step is an identity" sentinel — the forward must zero-fill them
+    assert ft._ZERO_RECORDS, "fused backward requires zero-filled records"
 
     generations = config.generation_limit
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
-    n_mat = len(spec.mat_kinds)
 
-    def _bwd_pallas(params, d_records, d_fstate, records, masks):
+    def _bwd_pallas(params, state0, d_records, d_fstate, records, masks):
         """Run the backward kernel over ray blocks; returns
         (d_objtx (S,16), d_prim, d_glass, d_state0 (13, n))."""
         dtype = records.dtype
@@ -256,6 +271,7 @@ def build_fused_vjp_trace_fn(
         drecs_t = tile(d_records, pad)
         masks_t = tile(masks.astype(dtype), ((0, 0), (0, n_pad - n)))
         dfstate_t = tile(d_fstate, ((0, 0), (0, n_pad - n)))
+        state0_t = tile(state0.astype(dtype), ((0, 0), (0, n_pad - n)))
 
         obj_tx = affine_inverse(params["world"]).reshape(spec.n_leaves, 16)
         prim_p = params["prim"]
@@ -276,6 +292,10 @@ def build_fused_vjp_trace_fn(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
                 pl.BlockSpec(
                     (generations, N_RECORD_COLS, r_rows, ft.LANE),
                     lambda i: (0, 0, i, 0),
@@ -316,6 +336,7 @@ def build_fused_vjp_trace_fn(
             obj_tx.astype(dtype),
             prim_p.astype(dtype),
             glass.astype(dtype),
+            state0_t,
             recs_t,
             masks_t,
             drecs_t,
@@ -356,8 +377,15 @@ def build_fused_vjp_trace_fn(
                 _cot(fr.id, (n,))[None],
             )
         )
+        state0 = jnp.concatenate(
+            (
+                initial_rays.positions,
+                initial_rays.directions,
+                initial_rays.metadata,
+            )
+        )
         d_objtx, d_prim, d_glass, d_state0 = _bwd_pallas(
-            params, d_records, d_fstate, records, masks
+            params, state0, d_records, d_fstate, records, masks
         )
 
         # chain through the outside-kernel pre-processing: obj_tx =

@@ -64,6 +64,7 @@ __all__ = [
     "supports_fused",
     "build_fused_trace_fn",
     "on_tpu",
+    "pick_fused",
     "fused_block_rays",
     "LANE",
 ]
@@ -96,6 +97,35 @@ def supports_fused(spec: SceneSpec) -> bool:
         and all(spec.mat_packed)
         and all(k in _PACKED_KINDS for k in spec.mat_kinds)
     )
+
+
+def pick_fused(
+    spec: SceneSpec,
+    config: TraceConfig,
+    itemsize: int = 4,
+    need_grad: bool = False,
+) -> bool:
+    """THE fused-vs-XLA dispatch rule, shared by every entry point
+    (engine.trace_rays, analysis.build_objective, parallel trace/train).
+
+    Returns True when the fused kernel(s) should run: the scene's materials
+    are all packed, the VMEM budgets fit at this ray ``itemsize`` (forward
+    kernel, plus the backward kernel when ``need_grad``), and either
+    ``config.use_fused`` forces it or the auto rule (None) finds a TPU.
+    Raises ValueError when ``use_fused=True`` demands an infeasible setup.
+    """
+    use = config.use_fused
+    feasible = supports_fused(spec) and fused_block_rays(config, itemsize) is not None
+    if feasible and need_grad:
+        from pyrayt_tpu.ops.fused_grad import bwd_block_rays
+
+        feasible = bwd_block_rays(config, itemsize) is not None
+    if use is True and not feasible:
+        raise ValueError(
+            "use_fused=True, but the scene has non-packed materials or the "
+            "generation_limit exceeds the fused kernels' VMEM budget"
+        )
+    return use is True or (use is None and feasible and on_tpu())
 
 
 def fused_block_rays(config: TraceConfig, itemsize: int = 4):
@@ -442,10 +472,13 @@ def _make_kernel(
             state[12],    # id
             jnp.ones_like(state[8]),  # alive (float mask; see step docstring)
         )
-        # outputs must be defined even for generations the early exit skips
-        # (mask zeroing is load-bearing; record zeroing is determinism only —
-        # unwritten generations are always masked out downstream).  The
-        # static-loop variant writes every generation, so nothing to fill.
+        # outputs must be defined even for generations the early exit skips.
+        # Mask zeroing is load-bearing for the forward contract; record
+        # zeroing is ALSO load-bearing since round 3 — the backward kernel
+        # (ops/fused_grad.py) reconstructs per-generation input states from
+        # these rows and relies on never-ran generations being zeros (its
+        # build asserts _ZERO_RECORDS).  The static-loop variant writes
+        # every generation, so nothing to fill.
         if not static_loop:
             if _ZERO_RECORDS:
                 rec_ref[:] = jnp.zeros_like(rec_ref)

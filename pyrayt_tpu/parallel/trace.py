@@ -53,7 +53,7 @@ def build_sharded_trace_fn(
     ``use_fused`` mirrors ``TraceConfig.use_fused`` for the multi-device
     path: the fused Pallas kernel is a single-device program, so it runs
     under ``shard_map`` — each shard traces its rays independently and only
-    the ``generations_run`` scalar is pmax-reduced.  ``None`` picks it
+    the ``generations_run`` scalar is max-reduced.  ``None`` picks it
     automatically on TPU for supported scenes; ``False`` keeps the XLA
     engine (which XLA partitions from the sharding annotations alone).
 
@@ -63,15 +63,9 @@ def build_sharded_trace_fn(
     """
     from pyrayt_tpu.ops import fused_trace as ft
 
-    if use_fused is None:
-        use_fused = config.use_fused
-    feasible = (
-        ft.supports_fused(scene.spec)
-        and ft.fused_block_rays(config, itemsize) is not None
-    )
-    if use_fused is True and not feasible:
-        raise ValueError("use_fused=True, but the scene/config is unsupported")
-    if use_fused is True or (use_fused is None and feasible and ft.on_tpu()):
+    if use_fused is not None:
+        config = TraceConfig(**{**config.__dict__, "use_fused": use_fused})
+    if ft.pick_fused(scene.spec, config, itemsize):
         return _build_shard_mapped_fused(scene, config, mesh, ft)
 
     base = engine.build_trace_fn(scene.spec, scene.materials, config)
@@ -192,6 +186,7 @@ def build_train_step(
     learning_rate: float = 1e-2,
     param_filter: Optional[Callable[[dict], dict]] = None,
     use_fused: Optional[bool] = None,
+    itemsize: int = 4,
 ):
     """Build the jitted distributed optimization step.
 
@@ -210,21 +205,16 @@ def build_train_step(
 
     ``param_filter`` masks which parameter pytree leaves receive updates
     (by zeroing gradient entries), e.g. to optimize only lens transforms.
+
+    ``itemsize`` is the ray dtype's byte width for the VMEM feasibility
+    checks (4 for the f32 production path, 8 for f64 rays).
     """
-    from pyrayt_tpu.ops import fused_grad
     from pyrayt_tpu.ops import fused_trace as ft
 
     cfg = TraceConfig(**{**config.__dict__, "fixed_loop": True})
-    if use_fused is None:
-        use_fused = cfg.use_fused
-    feasible = (
-        ft.supports_fused(scene.spec)
-        and ft.fused_block_rays(cfg) is not None
-        and fused_grad.bwd_block_rays(cfg) is not None
-    )
-    if use_fused is True and not feasible:
-        raise ValueError("use_fused=True, but the scene/config is unsupported")
-    if use_fused is True or (use_fused is None and feasible and ft.on_tpu()):
+    if use_fused is not None:
+        cfg = TraceConfig(**{**cfg.__dict__, "use_fused": use_fused})
+    if ft.pick_fused(scene.spec, cfg, itemsize, need_grad=True):
         trace = _build_shard_mapped_fused(scene, cfg, mesh, ft, vjp=True)
     else:
         trace = engine.build_trace_fn(scene.spec, scene.materials, cfg)

@@ -443,18 +443,8 @@ def trace_rays(
     """
     from pyrayt_tpu.ops import fused_trace as ft
 
-    use = config.use_fused
     itemsize = jnp.dtype(initial_rays.positions.dtype).itemsize
-    feasible = (
-        ft.supports_fused(scene.spec)
-        and ft.fused_block_rays(config, itemsize) is not None
-    )
-    if use is True and not feasible:
-        raise ValueError(
-            "use_fused=True, but the scene has non-packed materials or the "
-            "generation_limit exceeds the fused kernel's VMEM budget"
-        )
-    if use is True or (use is None and feasible and ft.on_tpu()):
+    if ft.pick_fused(scene.spec, config, itemsize):
         # forcing the fused kernel off-TPU runs it interpreted (slow but
         # correct) instead of failing in the Mosaic compiler; the auto
         # dispatch above only picks it on TPU, where interpret is False

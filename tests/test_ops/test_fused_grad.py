@@ -180,6 +180,37 @@ class TestRayCotangents:
         assert float(jnp.abs(jnp.asarray(g_x)[:3]).max()) > 1e-6
 
 
+def test_grad_wrt_non_unit_initial_directions():
+    """The backward reconstructs generation 0 from the TRUE initial state
+    (not the record's renormalized tilt rows), so callers passing non-unit
+    directions get the same gradients as the XLA engine (scaled by the
+    norm, exactly as forward physics sees them)."""
+    scene, rays = _condenser()
+    rays = rays.replace(directions=rays.directions * 2.5)  # non-unit
+    config = TraceConfig(generation_limit=6, fixed_loop=True)
+
+    def build(fused):
+        if fused:
+            trace = fused_grad.build_fused_vjp_trace_fn(
+                scene.spec, scene.materials, config, interpret=True
+            )
+        else:
+            trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+
+        def loss(directions):
+            r = rays.replace(directions=directions)
+            return rms_spot_radius(trace(scene.params, r))
+
+        return jax.grad(loss)(rays.directions)
+
+    g_x = build(False)
+    g_f = build(True)
+    np.testing.assert_allclose(
+        np.asarray(g_f)[:3], np.asarray(g_x)[:3], rtol=1e-8, atol=1e-10
+    )
+    assert float(jnp.abs(jnp.asarray(g_x)[:3]).max()) > 1e-8
+
+
 def test_forward_values_unchanged():
     """The custom_vjp wrapper's primal output is the fused kernel's."""
     scene, rays = _condenser()
