@@ -139,11 +139,23 @@ def main(steps: int = 300, show: bool = False) -> None:
         radii = jnp.asarray(signs) * jnp.exp(log_mags)
         return build_doublet(radii)
 
-    objective = build_objective(
-        build, rays, lambda result: focus_error(result, SYSTEM_FOCUS), config
-    )
+    # restrict the focus metric to rays that reach the imager: vignetted /
+    # bounce-exhausted paths would otherwise contribute garbage intercepts
+    # (see analysis.metrics.axis_intercepts).  fresh_ids makes this probe's
+    # imager id identical to the rebuilds inside the objective.
+    from pyrayt_tpu.scene.objects import fresh_ids
 
     theta0 = jnp.log(jnp.abs(jnp.asarray(r0)))
+    with fresh_ids():
+        imager_id = float(build(theta0)[-1].get_id())
+
+    objective = build_objective(
+        build,
+        rays,
+        lambda result: focus_error(result, SYSTEM_FOCUS, surface_id=imager_id),
+        config,
+    )
+
     loss0 = float(objective(theta0))
     theta, history = optimize(objective, theta0, steps=steps, learning_rate=2e-2)
     radii_opt = signs * np.exp(np.asarray(theta))

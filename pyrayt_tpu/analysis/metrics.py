@@ -97,22 +97,51 @@ def rms_spot_radius(result, surface_id=None) -> jnp.ndarray:
     return jnp.sqrt(masked_mean(r2, mask))
 
 
-def axis_intercepts(result):
+def axis_intercepts(result, min_tilt: float = 1e-6, surface_id=None):
     """(values (G,n), mask (G,n)) of each final ray's x-axis intercept:
     ``x0 - x_tilt * y0 / y_tilt`` (lens_design.ipynb cell 12's focal-length
-    estimator)."""
-    mask = last_generation_mask(result)
+    estimator).
+
+    Rays with ``|y_tilt| < min_tilt`` are masked out, not just exactly-zero
+    ones: a near-axial ray's intercept is 0/0 noise at any precision, and
+    at f32 the unfiltered division is so ill-conditioned that the MSE value
+    swings by orders of magnitude with last-bit tilt differences (measured
+    on the doublet example; the reference notebook ran f64 and a narrower
+    fan).  ``min_tilt = 1e-6`` keeps every ray that carries real focal
+    information for mm-scale optics; pass 0.0 for the raw estimator.
+
+    ``surface_id`` restricts the estimate to rays whose segment terminates
+    on that surface (the detector).  The default (None: each ray's final
+    segment, the notebook's ``generation == max`` filter) admits rays that
+    never reached the detector — edge-clipped or bounce-budget-exhausted
+    paths whose "intercepts" are meaningless and, at f32, make the metric
+    jump by orders of magnitude when a marginal ray flips in or out
+    (measured on the doublet example).  Optimization objectives should
+    pass the detector's id.
+    """
+    mask = (
+        last_generation_mask(result)
+        if surface_id is None
+        else surface_mask(result, surface_id)
+    )
     x0 = result.records[:, COL["x0"], :]
     y0 = result.records[:, COL["y0"], :]
     xt = result.records[:, COL["x_tilt"], :]
     yt = result.records[:, COL["y_tilt"], :]
-    safe_yt = jnp.where(yt == 0, 1.0, yt)
+    tilted = jnp.abs(yt) > min_tilt
+    safe_yt = jnp.where(tilted, yt, 1.0)
     intercept = x0 - xt * y0 / safe_yt
-    return jnp.where(mask & (yt != 0), intercept, 0.0), mask & (yt != 0)
+    return jnp.where(mask & tilted, intercept, 0.0), mask & tilted
 
 
-def focus_error(result, target_focus) -> jnp.ndarray:
+def focus_error(
+    result, target_focus, min_tilt: float = 1e-6, surface_id=None
+) -> jnp.ndarray:
     """Mean squared deviation of axis intercepts from a target focal plane
-    (the notebook's ``doublet_performance`` objective, cell 28)."""
-    intercepts, mask = axis_intercepts(result)
+    (the notebook's ``doublet_performance`` objective, cell 28).  Pass the
+    detector's ``surface_id`` for a vignetting-robust objective (see
+    axis_intercepts)."""
+    intercepts, mask = axis_intercepts(
+        result, min_tilt=min_tilt, surface_id=surface_id
+    )
     return masked_mean((intercepts - target_focus) ** 2, mask)
