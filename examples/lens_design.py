@@ -162,7 +162,8 @@ def main(steps: int = 300, show: bool = False) -> None:
 
     print("doublet:")
     print(f"  initial radii: {np.round(r0, 3)}  (focus MSE {loss0:.5f})")
-    print(f"  optimized    : {np.round(radii_opt, 3)}  (focus MSE {history[-1]:.5f})")
+    # optimize() returns the best-seen iterate; min(history) is its loss
+    print(f"  optimized    : {np.round(radii_opt, 3)}  (focus MSE {min(history):.5f})")
 
     system_opt = build_doublet(radii_opt)
     sphere_d = spherical_aberration(system_opt, -10.0, LENS_DIAMETER / 4, 11)

@@ -84,13 +84,19 @@ def optimize(
     """Minimize a differentiable objective with optax (default: adam).
 
     With ``checkpoint_path`` set, the loop persists
-    ``(theta, optimizer state, step, loss history)`` every
+    ``(theta, optimizer state, step, loss history, best iterate)`` every
     ``checkpoint_every`` steps (and at the end) via
     :mod:`pyrayt_tpu.analysis.checkpoint`, and transparently resumes from an
     existing file — a killed-and-restarted run converges to the identical
     result (the update rule is deterministic).
 
-    Returns ``(theta_opt, loss_history)``.
+    Returns ``(theta_best, loss_history)`` — the BEST-seen iterate, not the
+    final one: trace-derived losses can have discrete spikes (a marginal
+    ray flipping across a TIR/vignetting boundary moves the loss by orders
+    of magnitude at f32), so the last iterate of an otherwise-converged run
+    may sit on a spike while an earlier iterate is the real optimum.
+    ``history`` still records the per-step losses (``min(history)`` is the
+    returned iterate's loss).
     """
     import numpy as np
     import optax
@@ -102,11 +108,15 @@ def optimize(
     opt_state = optimizer.init(theta0)
 
     theta = theta0
+    best_theta = theta0
+    best_loss = float("inf")
     start = 0
     history: List[float] = []
     if checkpoint_path is not None:
         template = {
             "theta": theta0,
+            "best_theta": theta0,
+            "best_loss": float("inf"),
             "opt_state": opt_state,
             "step": 0,
             "history": np.zeros(steps),
@@ -114,6 +124,8 @@ def optimize(
         saved = restore_checkpoint(checkpoint_path, template)
         if saved is not None:
             theta = saved["theta"]
+            best_theta = saved["best_theta"]
+            best_loss = float(saved["best_loss"])
             opt_state = saved["opt_state"]
             start = int(saved["step"])
             history = list(np.asarray(saved["history"])[:start])
@@ -129,14 +141,25 @@ def optimize(
         padded[: len(history)] = history
         save_checkpoint(
             checkpoint_path,
-            {"theta": theta, "opt_state": opt_state, "step": i, "history": padded},
+            {
+                "theta": theta,
+                "best_theta": best_theta,
+                "best_loss": best_loss,
+                "opt_state": opt_state,
+                "step": i,
+                "history": padded,
+            },
         )
 
     for i in range(start, steps):
+        theta_in = theta
         theta, opt_state, loss = step(theta, opt_state)
-        history.append(float(loss))
+        loss = float(loss)
+        history.append(loss)
+        if loss < best_loss:  # loss is evaluated at theta_in, pre-update
+            best_theta, best_loss = theta_in, loss
         if checkpoint_path is not None and (i + 1) % checkpoint_every == 0:
             _save(i + 1)
     if checkpoint_path is not None and start < steps:
         _save(steps)
-    return theta, history
+    return (best_theta if best_loss < float("inf") else theta), history
