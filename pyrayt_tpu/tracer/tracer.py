@@ -16,7 +16,8 @@ TPU-native extras beyond the reference:
 
 from __future__ import annotations
 
-from typing import List
+import dataclasses
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +41,12 @@ class RayTracer:
     quirk Q1)."""
 
     def __init__(
-        self, sources, components, rays_per_source=10, generation_limit=10
+        self,
+        sources,
+        components,
+        rays_per_source=10,
+        generation_limit=10,
+        config: Optional[TraceConfig] = None,
     ):
         """A simulator that traces rays from ``sources`` through ``components``.
 
@@ -48,6 +54,16 @@ class RayTracer:
         :param components: a single component or an iterable of components
         :param rays_per_source: rays generated per source
         :param generation_limit: maximum bounce count per ray
+        :param config: optional :class:`TraceConfig` carrying the engine
+            knobs the reference has no counterpart for — ``use_fused``
+            (Pallas kernel dispatch), ``remat``, ``world_index`` and
+            ``apply_intensity_threshold`` (quirk Q1's *intended* behavior:
+            rays dimmer than ``ray_intensity_threshold`` are killed).  The
+            tracer's own state always wins for ``generation_limit``
+            (constructor arg / setter), ``ray_offset`` and
+            ``intensity_threshold`` (the ``ray_offset_value`` /
+            ``ray_intensity_threshold`` attributes — reference API parity,
+            _pyrayt.py:190-196) and ``fixed_loop`` (per-call internal).
         """
         self._sources = sources if hasattr(sources, "__iter__") else (sources,)
         self._components = (
@@ -55,7 +71,8 @@ class RayTracer:
         )
         self._rays_per_source = rays_per_source
         self._generation_limit = generation_limit
-        self._world_index = 1.0
+        self._base_config = config if config is not None else TraceConfig()
+        self._world_index = self._base_config.world_index
         self._frame_data = None
         self._result = None
         self._simulation_complete = False
@@ -98,8 +115,18 @@ class RayTracer:
         quirk Q4 references a nonexistent attribute; this one works)."""
         return self._components
 
+    def set_config(self, config: TraceConfig) -> None:
+        """Replace the base engine configuration (see ``__init__``)."""
+        self._base_config = config
+        self._world_index = config.world_index
+
+    def get_config(self) -> TraceConfig:
+        """The effective TraceConfig the next ``trace()`` will run with."""
+        return self._config()
+
     def _config(self, fixed_loop=False) -> TraceConfig:
-        return TraceConfig(
+        return dataclasses.replace(
+            self._base_config,
             generation_limit=self._generation_limit,
             ray_offset=self.ray_offset_value,
             intensity_threshold=self.ray_intensity_threshold,
