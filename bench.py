@@ -191,6 +191,15 @@ def main():
         except Exception as exc:  # pragma: no cover - defensive
             gradient_fields = {"gradient_error": f"{type(exc).__name__}: {exc}"}
 
+    # trace()->DataFrame host edge (VERDICT round 3, next #3): naive
+    # full-buffer fetch vs device-side compaction (tracer/frame.py)
+    hostedge_fields = {}
+    if os.environ.get("PYRAYT_BENCH_SKIP_HOSTEDGE", "0") != "1":
+        try:
+            hostedge_fields = _measure_hostedge_fields(fn, params, rays)
+        except Exception as exc:  # pragma: no cover - defensive
+            hostedge_fields = {"frame_error": f"{type(exc).__name__}: {exc}"}
+
     baseline = measure_reference_baseline()
     if baseline == baseline:  # not NaN
         vs = rays_per_second / baseline
@@ -213,9 +222,57 @@ def main():
                 "n_rays": N_RAYS,
                 "generation_limit": GENERATIONS,
                 **gradient_fields,
+                **hostedge_fields,
             }
         )
     )
+
+
+def _measure_hostedge_fields(fn, params, rays):
+    """Frame-materialization cost at production scale: device->host fetch +
+    pandas build for the full (G, 15, n) record buffer, naive vs the
+    device-compacted path (pyrayt_tpu/tracer/frame.py).
+
+    Honest relay note: on this host the TPU sits behind a relay fetching at
+    ~40 MB/s, so these numbers are dominated by fetch bytes — which is
+    exactly what compaction cuts (live rows only, f32-tight).  On a
+    directly-attached TPU the same byte reduction applies against PCIe/DMA
+    bandwidth instead.
+    """
+    from pyrayt_tpu.tracer.frame import records_to_dataframe
+
+    result = fn(params, rays)
+    jax.block_until_ready(result)
+
+    def best_of(k, thunk):
+        best = float("inf")
+        rows = 0
+        for _ in range(k):
+            t0 = time.perf_counter()
+            frame = thunk()
+            best = min(best, time.perf_counter() - t0)
+            rows = len(frame)
+        return best, rows
+
+    # warm the compacted path's jit + slice program so timing is steady-state
+    records_to_dataframe(result.records, result.record_mask, compact=True)
+    compact_s, rows = best_of(
+        2, lambda: records_to_dataframe(result.records, result.record_mask, compact=True)
+    )
+    naive_s, rows_n = best_of(
+        2, lambda: records_to_dataframe(result.records, result.record_mask, compact=False)
+    )
+    assert rows == rows_n
+    g, c, n = result.records.shape
+    itemsize = jnp.dtype(result.records.dtype).itemsize
+    return {
+        "frame_rows": rows,
+        "frame_ms_naive_fetch": round(naive_s * 1e3, 1),
+        "frame_ms_compacted_fetch": round(compact_s * 1e3, 1),
+        "frame_fetch_speedup": round(naive_s / compact_s, 2),
+        "frame_mb_device_buffer": round(g * c * n * itemsize / 1e6, 1),
+        "frame_note": "relay fetch ~40 MB/s dominates; compaction fetches live f32 rows only",
+    }
 
 
 def _measure_gradient_fields(chain: int = 5, repeats: int = 2):

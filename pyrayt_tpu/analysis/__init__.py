@@ -20,12 +20,18 @@ from pyrayt_tpu.analysis.gradcheck import check_gradients, finite_difference_gra
 from pyrayt_tpu.analysis.metrics import (
     COL,
     axis_intercepts,
+    detector_weights,
     focus_error,
     last_generation_mask,
     masked_mean,
     rms_spot_radius,
+    smoothstep,
+    soft_focus_error,
+    soft_rms_spot_radius,
     spot_diagram_points,
     surface_mask,
+    weighted_mean,
+    window_weights,
 )
 from pyrayt_tpu.analysis.optimize import build_objective, optimize
 
@@ -40,12 +46,18 @@ __all__ = [
     "finite_difference_grad",
     "COL",
     "axis_intercepts",
+    "detector_weights",
     "focus_error",
     "last_generation_mask",
     "masked_mean",
     "rms_spot_radius",
+    "smoothstep",
+    "soft_focus_error",
+    "soft_rms_spot_radius",
     "spot_diagram_points",
     "surface_mask",
+    "weighted_mean",
+    "window_weights",
     "build_objective",
     "optimize",
 ]

@@ -24,6 +24,12 @@ __all__ = [
     "axis_intercepts",
     "focus_error",
     "spot_diagram_points",
+    "smoothstep",
+    "window_weights",
+    "detector_weights",
+    "weighted_mean",
+    "soft_focus_error",
+    "soft_rms_spot_radius",
 ]
 
 COL = {
@@ -145,3 +151,114 @@ def focus_error(
         result, min_tilt=min_tilt, surface_id=surface_id
     )
     return masked_mean((intercepts - target_focus) ** 2, mask)
+
+
+# ---------------------------------------------------------------------------
+# Smooth (spike-free) objectives
+#
+# Trace-derived losses over hard masks have discrete spikes at f32: a
+# marginal ray flipping across the detector edge (or the min_tilt cut)
+# between two equally-valid compilations of the same math adds/removes a
+# whole term from the mean and moves an intercept MSE by orders of
+# magnitude (measured on the doublet — docs/design_notes.md).  The
+# functions below replace the boolean masks with C1 weights that reach
+# EXACTLY zero at the physical boundary, so the row vanishing from the
+# record (the ray misses the detector entirely) is a continuous no-op on
+# the loss instead of a cliff.  No reference counterpart: the notebook ran
+# f64 scipy with a narrow fan and never met the cliff
+# (/root/reference/examples/lens_design.ipynb cells 28-33).
+# ---------------------------------------------------------------------------
+
+
+def smoothstep(t):
+    """C1 ramp: 0 for t<=0, t^2(3-2t) on [0,1], 1 for t>=1."""
+    t = jnp.clip(t, 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def window_weights(values, half_width, ramp):
+    """Weight of a coordinate inside a symmetric window of half-width
+    ``half_width``: 1 deep inside, smoothstep down over the last ``ramp``
+    of the window, exactly 0 at (and beyond) the edge."""
+    return smoothstep((half_width - jnp.abs(values)) / ramp)
+
+
+def detector_weights(result, surface_id, half_widths, ramp):
+    """(G, n) smooth detector weights: the hard ``surface_mask`` times a
+    C1 falloff of the hit point (y1, z1) toward the detector edge.
+
+    ``half_widths`` is the detector's (y, z) half-aperture; ``ramp`` is
+    the falloff band width (same units).  Because the weight is exactly 0
+    at the edge, a marginal ray leaving the detector changes the loss
+    continuously — the moment its record row disappears its weight was
+    already zero.
+    """
+    hy, hz = half_widths
+    mask = surface_mask(result, surface_id)
+    y = result.records[:, COL["y1"], :]
+    z = result.records[:, COL["z1"], :]
+    w = window_weights(y, hy, ramp) * window_weights(z, hz, ramp)
+    return jnp.where(mask, w, 0.0)
+
+
+def weighted_mean(values, weights, axis=None):
+    """Weighted mean, safe when all weights are zero."""
+    total = jnp.sum(weights, axis=axis)
+    return jnp.sum(values * weights, axis=axis) / jnp.maximum(total, 1e-12)
+
+
+def _soft_intercepts(result, tilt_ramp):
+    """(intercepts, tilt weights): the axis_intercepts estimator with the
+    hard ``min_tilt`` cut replaced by a smoothstep over
+    ``[tilt_ramp[0], tilt_ramp[1]]`` of |y_tilt|.  The 1/y_tilt noise of a
+    near-axial ray grows like 1/t while its weight falls smoothly to an
+    exact 0 below tilt_ramp[0], so the product stays continuous."""
+    t0, t1 = tilt_ramp
+    x0 = result.records[:, COL["x0"], :]
+    y0 = result.records[:, COL["y0"], :]
+    xt = result.records[:, COL["x_tilt"], :]
+    yt = result.records[:, COL["y_tilt"], :]
+    w_tilt = smoothstep((jnp.abs(yt) - t0) / (t1 - t0))
+    safe_yt = jnp.where(jnp.abs(yt) > t0, yt, t0)
+    intercepts = x0 - xt * y0 / safe_yt
+    return intercepts, w_tilt
+
+
+def soft_focus_error(
+    result,
+    target_focus,
+    surface_id,
+    half_widths,
+    ramp=None,
+    tilt_ramp=(1e-6, 1e-5),
+) -> jnp.ndarray:
+    """Smooth counterpart of :func:`focus_error`: weighted MSE of axis
+    intercepts from the target focal plane, with C1 vignetting weights at
+    the detector edge and a C1 tilt cut.
+
+    ``half_widths``: detector (y, z) half-aperture.  ``ramp`` defaults to
+    10% of the smaller half-width.  Spike behavior measured on the doublet
+    before/after in docs/design_notes.md.
+    """
+    hy, hz = half_widths
+    if ramp is None:
+        ramp = 0.1 * min(hy, hz)
+    w = detector_weights(result, surface_id, (hy, hz), ramp)
+    intercepts, w_tilt = _soft_intercepts(result, tilt_ramp)
+    w = w * w_tilt
+    return weighted_mean((intercepts - target_focus) ** 2, w)
+
+
+def soft_rms_spot_radius(result, surface_id, half_widths, ramp=None):
+    """Smooth counterpart of :func:`rms_spot_radius` on a detector:
+    weighted RMS radius about the weighted centroid, C1 at the edge."""
+    hy, hz = half_widths
+    if ramp is None:
+        ramp = 0.1 * min(hy, hz)
+    w = detector_weights(result, surface_id, (hy, hz), ramp)
+    y = result.records[:, COL["y1"], :]
+    z = result.records[:, COL["z1"], :]
+    cy = weighted_mean(y, w)
+    cz = weighted_mean(z, w)
+    r2 = (y - cy) ** 2 + (z - cz) ** 2
+    return jnp.sqrt(weighted_mean(r2, w))
