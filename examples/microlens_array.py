@@ -1,0 +1,116 @@
+"""Microlens array: 16x16 = 256 plano-convex lenslets, traced and
+differentiated end-to-end.
+
+The reference handles arbitrary component lists with a per-component
+Python loop (/root/reference/pyrayt/_pyrayt.py:377-392) — graceful at any
+count, but each component costs a Python-time pass.  Here all 256
+lenslets share one CSG shape, so the engine's wide-scene path
+(pyrayt_tpu/tracer/engine.py) batches the whole array into a single
+(trees x rays) interval-CSG sweep: compile time is flat in the lenslet
+count, and the sweep is one dense VPU program.
+
+The script:
+1. traces a collimated square beam through the array to its focal plane,
+2. reports the per-lenslet focusing quality (median distance of detector
+   hits to the nearest lenslet center),
+3. differentiates the mean spot size with respect to the (shared) lenslet
+   radius of curvature — the gradient a lenslet-array designer descends.
+
+Run:  python examples/microlens_array.py [--n 16] [--rays 65536]
+"""
+
+import os
+import sys
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyrayt_tpu as pyrayt
+from pyrayt_tpu import components
+from pyrayt_tpu.analysis import build_objective
+from pyrayt_tpu.analysis.metrics import COL, masked_mean, surface_mask
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.scene.objects import fresh_ids
+
+PITCH = 1.0  # mm
+R_LENSLET = 2.0  # mm radius of curvature
+THICKNESS = 0.25  # mm
+
+
+def build_system(n, r=R_LENSLET):
+    lenslets = components.microlens_array(r, THICKNESS, n, n, PITCH)
+    # the detector plane is FIXED at the nominal focal length: it is the
+    # design target, not a function of the traced radius (and lensmakers
+    # with r2 = inf is non-differentiable — inf * 0 = NaN in the backward)
+    focus = pyrayt.lensmakers_equation(R_LENSLET, np.inf, 1.5, THICKNESS)
+    detector = components.baffle((2.0 * n * PITCH, 2.0 * n * PITCH)).move_x(focus)
+    return lenslets + [detector], detector, focus
+
+
+def main(n=16, n_rays=1 << 16, steps=0):
+    system, detector, focus = build_system(n)
+    span = n * PITCH * 0.95
+    source = components.GridOfRays(span, span).move_x(-1.0)
+
+    tracer = pyrayt.RayTracer(
+        source, system, rays_per_source=n_rays, generation_limit=4
+    )
+    frame = tracer.trace()
+    hits = frame[frame.surface == detector.get_id()]
+    # distance of each focal-plane hit to its nearest lenslet center (for
+    # even n the centers sit at half-pitch offsets: (i - (n-1)/2) * pitch)
+    off = 0.0 if n % 2 else PITCH / 2.0
+    dy = hits["y1"] - (PITCH * np.round((hits["y1"] - off) / PITCH) + off)
+    dz = hits["z1"] - (PITCH * np.round((hits["z1"] - off) / PITCH) + off)
+    spot = np.hypot(dy, dz)
+    print(f"{n}x{n} lenslets ({2 * n * n} leaves), {n_rays} rays")
+    print(f"  focal plane x = {focus:.3f} mm")
+    print(f"  detector hits: {len(hits)} / {n_rays}")
+    print(f"  median |hit - lenslet center|: {np.median(spot):.4f} mm "
+          f"(cell half-pitch {PITCH / 2:.2f})")
+
+    # --- the differentiable-design path: d(spot size)/d(radius) ------------
+    rays = source.generate_rays(n_rays)
+    rays = rays.replace(id=jnp.arange(n_rays, dtype=rays.positions.dtype))
+
+    def build(r):
+        return build_system(n, r)[0]
+
+    with fresh_ids():
+        det_id = float(build(jnp.asarray(R_LENSLET))[-1].get_id())
+
+    def lenslet_blur(res):
+        """Mean squared distance of focal-plane hits to their own lenslet's
+        center — the per-cell spot objective an MLA designer minimizes.
+        round() is piecewise constant, so the loss is differentiable a.e."""
+        m = surface_mask(res, det_id)
+        y = res.records[:, COL["y1"], :]
+        z = res.records[:, COL["z1"], :]
+        dy = y - (PITCH * jnp.round((y - off) / PITCH) + off)
+        dz = z - (PITCH * jnp.round((z - off) / PITCH) + off)
+        return masked_mean(dy**2 + dz**2, m)
+
+    objective = build_objective(
+        build, rays, lenslet_blur, TraceConfig(generation_limit=4, fixed_loop=True)
+    )
+    r0 = jnp.asarray(R_LENSLET)
+    value, grad = jax.value_and_grad(objective)(r0)
+    print(f"  per-lenslet blur (MSE): {float(value):.6f} mm^2; "
+          f"d(blur)/d(r) = {float(grad):+.6f} "
+          f"({n * n} lenslets, one backward pass)")
+    return float(value), float(grad)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 16
+    rays = (
+        int(sys.argv[sys.argv.index("--rays") + 1])
+        if "--rays" in sys.argv
+        else 1 << 16
+    )
+    main(n=n, n_rays=rays)

@@ -44,8 +44,10 @@ __all__ = [
     "equilateral_prism",
     "baffle",
     "aperture",
+    "microlens_array",
     "Source",
     "LineOfRays",
+    "GridOfRays",
     "CircleOfRays",
     "ConeOfRays",
     "WedgeOfRays",
@@ -411,6 +413,47 @@ def aperture(
     return csg.difference(aperture_stop, opening).rotate_y(90).rotate_x(-90)
 
 
+def microlens_array(
+    r: float,
+    thickness: float,
+    nx: int,
+    ny: int,
+    pitch: float,
+    aperture: float = None,
+    material=None,
+):
+    """``ny x nx`` grid of plano-convex lenslets in the YZ plane, optical
+    axes +X, centered on the origin.  Returns the component list.
+
+    TPU-native extra with no factory counterpart in the reference — there a
+    user would loop ``plano_convex_lens(...).move_y(...).move_z(...)``
+    over the arbitrary-component-list trace loop
+    (/root/reference/pyrayt/_pyrayt.py:377-392).  Here every lenslet shares
+    one CSG shape, so the engine's wide-scene path batches the whole array
+    into a single (trees x rays) sweep (tracer/engine.py), keeping compile
+    time flat in the lenslet count.
+
+    ``r`` may be a traced value for differentiable lenslet design.
+    """
+    if material is None:
+        material = matl.glass["ideal"]
+    if aperture is None:
+        aperture = pitch
+    lenslets = []
+    for iy in range(ny):
+        for iz in range(nx):
+            y = (iy - (ny - 1) / 2.0) * pitch
+            z = (iz - (nx - 1) / 2.0) * pitch
+            lenslets.append(
+                plano_convex_lens(
+                    r, thickness, aperture=aperture, material=material
+                )
+                .move_y(y)
+                .move_z(z)
+            )
+    return lenslets
+
+
 # ---------------------------------------------------------------------------
 # Sources (parity: components.py:471-662)
 # ---------------------------------------------------------------------------
@@ -460,6 +503,29 @@ class LineOfRays(Source):
         if n_rays > 1:
             y = jnp.linspace(-self._spacing / 2, self._spacing / 2, n_rays)
             positions = positions.at[1].set(y)
+        directions = rayset.directions.at[0].set(1.0)
+        return rayset.replace(positions=positions, directions=directions)
+
+
+class GridOfRays(Source):
+    def __init__(self, width=1, height=1, wavelength=0.633, *args, **kwargs):
+        """Parallel +X rays on a near-square grid spanning ``width`` (Y) x
+        ``height`` (Z).  2-D analog of LineOfRays (TPU-native extra — the
+        reference has no areal collimated source); rays fill the grid
+        row-major, so ``n_rays`` need not be a perfect square."""
+        super().__init__(wavelength, *args, **kwargs)
+        self._width = width
+        self._height = height
+
+    def _local_ray_generation(self, n_rays: int) -> RaySet:
+        rayset = RaySet.create(n_rays, wavelength=self._wavelength)
+        k = int(np.ceil(np.sqrt(n_rays)))
+        rows = int(np.ceil(n_rays / k))
+        i = jnp.arange(n_rays)
+        iy, iz = i // k, i % k
+        y = (iy / max(rows - 1, 1) - 0.5) * self._width
+        z = (iz / max(k - 1, 1) - 0.5) * self._height
+        positions = rayset.positions.at[1].set(y).at[2].set(z)
         directions = rayset.directions.at[0].set(1.0)
         return rayset.replace(positions=positions, directions=directions)
 

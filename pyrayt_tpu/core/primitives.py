@@ -49,6 +49,7 @@ __all__ = [
     "cylinder_normal",
     "leaf_intersect",
     "leaf_normal",
+    "leaf_normal_raw3",
 ]
 
 # primitive type codes used by the flattened scene representation
@@ -332,6 +333,55 @@ def leaf_intersect(type_code: int, rays, params):
         return cube_intersect(rays, params[:6].reshape(3, 2))
     if type_code == CYLINDER:
         return cylinder_intersect(rays, params[0], params[1], params[2])
+    raise ValueError(f"unknown primitive type code {type_code}")
+
+
+def leaf_normal_raw3(type_code, pts3, pr, s):
+    """Unnormalized object-space normal as xyz rows.
+
+    ``pts3`` is a sequence of three (broadcast-compatible) coordinate
+    arrays; ``pr`` is anything supporting ``pr[s, i]`` scalar-or-array
+    reads — an SMEM ref row in the fused Pallas kernel
+    (ops/fused_trace.py), or a per-ray column view in the engine's
+    gather-based wide-scene path (tracer/engine.py).
+
+    Callers renormalize after the world (inverse-transpose) transform, and
+    ``normalize(A @ normalize(n)) == normalize(A @ n)``, so the
+    per-primitive normalization of the ``*_normal`` functions above is
+    redundant work here.  Directions match ``leaf_normal``.
+    """
+    x, y, z = pts3
+    zeros = jnp.zeros_like(x)
+    ones = zeros + 1.0
+    if type_code == SPHERE:
+        return [x, y, z]
+    if type_code == PARABOLOID:
+        focus, height = pr[s, 0], pr[s, 1]
+        cap = jnp.isclose(z, height)
+        return [
+            jnp.where(cap, 0.0, x),
+            jnp.where(cap, 0.0, y),
+            jnp.where(cap, 1.0, zeros - 2 * focus),
+        ]
+    if type_code == PLANE:
+        return [zeros, zeros, ones]
+    if type_code == CUBE:
+        out = []
+        for a, c in enumerate((x, y, z)):
+            neg = jnp.isclose(c, pr[s, 2 * a])
+            pos = jnp.isclose(c, pr[s, 2 * a + 1])
+            out.append(jnp.where(pos, 1.0, jnp.where(neg, -1.0, 0.0)))
+        return out
+    if type_code == CYLINDER:
+        capped = pr[s, 3] != 0
+        lo_cap = jnp.isclose(z, pr[s, 1]) & capped
+        hi_cap = jnp.isclose(z, pr[s, 2]) & capped
+        cap = lo_cap | hi_cap
+        return [
+            jnp.where(cap, 0.0, x),
+            jnp.where(cap, 0.0, y),
+            jnp.where(hi_cap, 1.0, jnp.where(lo_cap, -1.0, 0.0)),
+        ]
     raise ValueError(f"unknown primitive type code {type_code}")
 
 

@@ -89,11 +89,20 @@ def on_tpu() -> bool:
     return "tpu" in dev.platform.lower() or "TPU" in getattr(dev, "device_kind", "")
 
 
+# the kernel unrolls the scene per leaf; past this count the generated
+# Mosaic program (and its compile time) stops paying for itself — the XLA
+# engine's batched wide-scene path (tracer/engine.py) takes over for
+# lens/microlens arrays (measured scaling in docs/design_notes.md)
+_FUSED_MAX_LEAVES = 32
+
+
 def supports_fused(spec: SceneSpec) -> bool:
     """The fused kernel covers every reference material; custom Python
-    TracableMaterials (arbitrary host code) fall back to the XLA engine."""
+    TracableMaterials (arbitrary host code) and very wide scenes (leaf
+    count above ``_FUSED_MAX_LEAVES`` — lens arrays) fall back to the XLA
+    engine."""
     return (
-        spec.n_leaves > 0
+        0 < spec.n_leaves <= _FUSED_MAX_LEAVES
         and all(spec.mat_packed)
         and all(k in _PACKED_KINDS for k in spec.mat_kinds)
     )
@@ -233,47 +242,10 @@ def _index_from_scalars(gr, slot, wavelength):
     return jnp.sqrt(n2)
 
 
-def _leaf_normal_raw3(type_code, pts3, pr, s):
-    """Unnormalized object-space normal as xyz rows.
-
-    The world normal is renormalized after the inverse-transpose transform,
-    and normalize(A @ normalize(n)) == normalize(A @ n), so per-primitive
-    normalization (sphere/cylinder/cube/paraboloid in core.primitives) is
-    redundant work here.  Directions match core.primitives.leaf_normal.
-    """
-    x, y, z = pts3
-    zeros = jnp.zeros_like(x)
-    ones = zeros + 1.0
-    if type_code == prim.SPHERE:
-        return [x, y, z]
-    if type_code == prim.PARABOLOID:
-        focus, height = pr[s, 0], pr[s, 1]
-        cap = jnp.isclose(z, height)
-        return [
-            jnp.where(cap, 0.0, x),
-            jnp.where(cap, 0.0, y),
-            jnp.where(cap, 1.0, zeros - 2 * focus),
-        ]
-    if type_code == prim.PLANE:
-        return [zeros, zeros, ones]
-    if type_code == prim.CUBE:
-        out = []
-        for a, c in enumerate((x, y, z)):
-            neg = jnp.isclose(c, pr[s, 2 * a])
-            pos = jnp.isclose(c, pr[s, 2 * a + 1])
-            out.append(jnp.where(pos, 1.0, jnp.where(neg, -1.0, 0.0)))
-        return out
-    if type_code == prim.CYLINDER:
-        capped = pr[s, 3] != 0
-        lo_cap = jnp.isclose(z, pr[s, 1]) & capped
-        hi_cap = jnp.isclose(z, pr[s, 2]) & capped
-        cap = lo_cap | hi_cap
-        return [
-            jnp.where(cap, 0.0, x),
-            jnp.where(cap, 0.0, y),
-            jnp.where(hi_cap, 1.0, jnp.where(lo_cap, -1.0, 0.0)),
-        ]
-    raise ValueError(f"unknown primitive type code {type_code}")
+# unnormalized object-space normals shared with the engine's wide-scene
+# gather path (the [s, i] access pattern works for SMEM refs and for
+# per-ray column views alike)
+_leaf_normal_raw3 = prim.leaf_normal_raw3
 
 
 # interval CSG lives in core.intervals (shared with the XLA engine);

@@ -19,6 +19,7 @@ from pyrayt_tpu.parallel.mesh import (
 )
 from pyrayt_tpu.parallel.surfaces import (
     build_surface_sharded_nearest_hit,
+    build_wide_sharded_trace_fn,
     pad_leaf_tables,
 )
 from pyrayt_tpu.parallel.trace import (
@@ -38,6 +39,7 @@ __all__ = [
     "build_sharded_trace_fn",
     "build_surface_sharded_nearest_hit",
     "build_train_step",
+    "build_wide_sharded_trace_fn",
     "pad_leaf_tables",
     "sharded_trace",
 ]

@@ -28,6 +28,7 @@ from functools import lru_cache
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from pyrayt_tpu import materials as matl
@@ -36,7 +37,6 @@ from pyrayt_tpu.core import primitives as prim
 from pyrayt_tpu.core.csg import csg_combine_with_ids
 from pyrayt_tpu.core.intervals import (
     eval_tree_intervals,
-    leaf_intervals_from_hits,
     tree_supports_intervals,
 )
 from pyrayt_tpu.core.operations import (
@@ -91,17 +91,190 @@ def _local_xyz_rays(m, rays):
     return jnp.stack((lo, ld))
 
 
-def _leaf_hits(spec: SceneSpec, params, rays):
-    """Intersect all rays against every leaf. Returns a list of (2, n) hits.
+# ---------------------------------------------------------------------------
+# Wide scenes: batched same-shape CSG trees (lens / microlens arrays)
+#
+# Both engines unroll Python loops per leaf; that is the right call for the
+# reference's realistic systems (<= ~15 leaves) but collapses for arrays of
+# hundreds of identical lenslets — compile time and program size grow with
+# the leaf count while the math is embarrassingly uniform.  The wide path
+# groups top-level trees by *shape signature* (same CSG structure, primitive
+# types, materials, normal scales — only transforms/parameters differ),
+# stacks each group's tables along a new tree axis T, and evaluates the
+# interval CSG once on (T, n) arrays: compile cost is per-GROUP, runtime is
+# one batched sweep.  INTERACT switches from per-leaf masked accumulation to
+# per-ray gathers from the (small, replicated) scene tables.
+#
+# Reference counterpart: the arbitrary-component-list loop at
+# /root/reference/pyrayt/_pyrayt.py:377-392, which degrades gracefully to
+# any component count (in Python time).  Tie-break deviation: within a
+# group the nearest-hit reduce picks the lowest tree index (== lowest leaf
+# slot, components are flattened in order), but a group folds into the
+# global minimum at its FIRST member's position, so exact cross-component
+# distance ties (measure zero) may resolve differently from the unrolled
+# engine.
+# ---------------------------------------------------------------------------
 
-    All leaves transform in one pass over the ray arrays — the reference
-    does this per surface per generation (world_objects.py:367).
+_WIDE_GROUP_MIN = 8  # trees of one signature before batching pays
+
+
+def _tree_slots(tree):
+    if tree[0] == LEAF:
+        return (tree[1],)
+    return _tree_slots(tree[1]) + _tree_slots(tree[2])
+
+
+def _tree_template(tree):
+    """The tree with leaf slots replaced by in-order positions 0..L-1."""
+
+    def rec(t, c):
+        if t[0] == LEAF:
+            j = c[0]
+            c[0] += 1
+            return (LEAF, j)
+        return (t[0], rec(t[1], c), rec(t[2], c))
+
+    return rec(tree, [0])
+
+
+def _tree_sig(spec: SceneSpec, tree):
+    """Shape signature: trees with equal signatures differ only in their
+    transforms and primitive parameter values -> batchable."""
+    if tree[0] == LEAF:
+        s = tree[1]
+        return (
+            LEAF,
+            spec.leaf_types[s],
+            spec.leaf_mat_slot[s],
+            spec.leaf_normal_scale[s],
+        )
+    return (tree[0], _tree_sig(spec, tree[1]), _tree_sig(spec, tree[2]))
+
+
+@lru_cache(maxsize=256)
+def _wide_plan(spec: SceneSpec):
+    """Static fold plan: ``(order, groups)``.
+
+    ``groups[i] = (template, types_pos, slot_matrix)`` — a batchable set of
+    identically-shaped interval-supporting trees; ``order`` interleaves
+    ``("group", i)`` (at the first member's component position) with
+    ``("single", tree_index)`` entries for everything else.
     """
-    obj_tx = affine_inverse(params["world"])  # (S, 4, 4)
-    return [
-        prim.leaf_intersect(t, _local_xyz_rays(obj_tx[s], rays), params["prim"][s])
-        for s, t in enumerate(spec.leaf_types)
-    ], obj_tx
+    by_sig = {}
+    for ti, tree in enumerate(spec.trees):
+        if tree_supports_intervals(tree):
+            by_sig.setdefault(_tree_sig(spec, tree), []).append(ti)
+
+    groups = []
+    first_of_group = {}
+    grouped = set()
+    for sig, tis in by_sig.items():
+        if len(tis) >= _WIDE_GROUP_MIN:
+            first = spec.trees[tis[0]]
+            template = _tree_template(first)
+            types_pos = tuple(spec.leaf_types[s] for s in _tree_slots(first))
+            slot_matrix = tuple(_tree_slots(spec.trees[t]) for t in tis)
+            first_of_group[tis[0]] = len(groups)
+            groups.append((template, types_pos, slot_matrix))
+            grouped.update(tis)
+
+    order = []
+    for ti in range(len(spec.trees)):
+        if ti in grouped:
+            if ti in first_of_group:
+                order.append(("group", first_of_group[ti]))
+        else:
+            order.append(("single", ti))
+    return tuple(order), tuple(groups)
+
+
+def _local_xyz_rays_batched(m, rays):
+    """(T, 4, 4) object transforms x (2, 4, n) rays -> (2, 3, T, n) local
+    rays, as broadcast FMAs (full f32 precision — see _local_xyz_rays)."""
+    p, v = rays[0], rays[1]
+    lo = jnp.stack(
+        [
+            m[:, i, 0, None] * p[0] + m[:, i, 1, None] * p[1]
+            + m[:, i, 2, None] * p[2] + m[:, i, 3, None] * p[3]
+            for i in range(3)
+        ]
+    )
+    ld = jnp.stack(
+        [
+            m[:, i, 0, None] * v[0] + m[:, i, 1, None] * v[1]
+            + m[:, i, 2, None] * v[2]
+            for i in range(3)
+        ]
+    )
+    return jnp.stack((lo, ld))
+
+
+def _leaf_intersect_batched(type_code, local, pr):
+    """prim.leaf_intersect over a (T,)-batched leaf table: ``local`` is
+    (2, 3, T, n), ``pr`` is (T, P); params broadcast as (T, 1) columns."""
+
+    def col(i):
+        return pr[:, i, None]
+
+    if type_code == prim.SPHERE:
+        return prim.sphere_intersect(local, col(0))
+    if type_code == prim.PARABOLOID:
+        return prim.paraboloid_intersect(local, col(0), col(1))
+    if type_code == prim.PLANE:
+        return prim.plane_intersect(local, col(0), col(1))
+    if type_code == prim.CUBE:
+        spans = jnp.stack(
+            [jnp.stack([col(2 * a), col(2 * a + 1)]) for a in range(3)]
+        )  # (3, 2, T, 1) — cube_intersect reads spans[axis, lo/hi]
+        return prim.cube_intersect(local, spans)
+    if type_code == prim.CYLINDER:
+        return prim.cylinder_intersect(local, col(0), col(1), col(2))
+    raise ValueError(f"unknown primitive type code {type_code}")
+
+
+def _wide_group_candidates(template, types_pos, slots, params, obj_tx, rays):
+    """Per-tree nearest positive hit for one batched group.
+
+    ``slots``: (T, L) global leaf-slot indices (array).  Returns
+    ``(dist (T, n), leaf (T, n) int32)`` with -1 where a tree hits nothing.
+    Shared by the replicated engine and the surface-sharded trace
+    (pyrayt_tpu/parallel/surfaces.py), which passes its local shard of the
+    slot matrix.
+    """
+    T, L = slots.shape
+    n = rays.shape[-1]
+    dtype = rays.dtype
+
+    leaf_intervals = []
+    for j in range(L):
+        sj = slots[:, j]
+        m = obj_tx[sj]  # (T, 4, 4) table gather
+        pr = params["prim"][sj]  # (T, P)
+        local = _local_xyz_rays_batched(m, rays)
+        pair = _leaf_intersect_batched(types_pos[j], local, pr)
+        lo = jnp.minimum(pair[0], pair[1])
+        hi = jnp.maximum(pair[0], pair[1])
+        ids = sj.astype(jnp.int32)[:, None]  # broadcasts against (T, n)
+        leaf_intervals.append((lo, hi, ids, ids))
+
+    dist = jnp.full((T, n), jnp.inf, dtype)
+    leaf = jnp.full((T, n), -1, jnp.int32)
+    for lo, hi, lo_id, hi_id in eval_tree_intervals(template, leaf_intervals):
+        for cand, ids in ((lo, lo_id), (hi, hi_id)):
+            cand = jnp.where(cand > 0, cand, jnp.inf)
+            new_min = cand < dist
+            dist = jnp.where(new_min, cand, dist)
+            leaf = jnp.where(new_min, ids, leaf)
+    return dist, leaf
+
+
+def _reduce_tree_axis(dist, leaf):
+    """Reduce (T, n) per-tree candidates to the per-ray nearest: min over
+    the tree axis; ties pick the lowest tree index (= lowest leaf slot)."""
+    dmin = jnp.min(dist, axis=0)
+    win = jnp.argmin(dist, axis=0)
+    lmin = jnp.take_along_axis(leaf, win[None], axis=0)[0]
+    return dmin, jnp.where(jnp.isinf(dmin), jnp.int32(-1), lmin)
 
 
 def _eval_tree(tree, leaf_hits):
@@ -120,7 +293,7 @@ def _eval_tree(tree, leaf_hits):
     return csg_combine_with_ids(l_hits, l_ids, r_hits, r_ids, OP_BY_NAME[op_name])
 
 
-def scene_nearest_hit(spec: SceneSpec, params, rays):
+def scene_nearest_hit(spec: SceneSpec, params, rays, group_slots_fn=None):
     """Nearest positive hit over all components.
 
     Returns ``(hit_distances (n,), hit_leaf (n,) int32, obj_tx (S,4,4))``
@@ -131,14 +304,17 @@ def scene_nearest_hit(spec: SceneSpec, params, rays):
     (core.intervals; also reverse-mode differentiable); general trees use
     the comparator-network combiner.  Either way the nearest positive hit
     is an unrolled min-fold over the static, tiny event axis — no
-    argmin/gather (TPU gathers serialize; SURVEY §7.4).
+    argmin/gather (TPU gathers serialize; SURVEY §7.4).  Wide groups (see
+    _wide_plan) fold as one batched (trees x rays) sweep instead.
+
+    ``group_slots_fn(group_index, slot_matrix) -> (T', L) array`` optionally
+    restricts each wide group to a subset of its trees — the surface-
+    sharded trace (pyrayt_tpu/parallel/surfaces.py) passes each device's
+    chunk and pmin-combines the partial folds.
     """
     n = rays.shape[-1]
-    leaf_hits, obj_tx = _leaf_hits(spec, params, rays)
-    sorted_hits = [
-        jnp.stack((jnp.minimum(h[0], h[1]), jnp.maximum(h[0], h[1])))
-        for h in leaf_hits
-    ]
+    order, groups = _wide_plan(spec)
+    obj_tx = affine_inverse(params["world"])  # (S, 4, 4)
 
     hit_distances = jnp.full(n, jnp.inf, dtype=rays.dtype)
     hit_leaf = jnp.full(n, -1, dtype=jnp.int32)
@@ -150,14 +326,42 @@ def scene_nearest_hit(spec: SceneSpec, params, rays):
         hit_distances = jnp.where(new_min, cand, hit_distances)
         hit_leaf = jnp.where(new_min, ids, hit_leaf)
 
-    leaf_intervals = leaf_intervals_from_hits(sorted_hits)
-    for tree in spec.trees:
+    sorted_cache = {}
+
+    def slot_sorted(s):
+        if s not in sorted_cache:
+            pair = prim.leaf_intersect(
+                spec.leaf_types[s], _local_xyz_rays(obj_tx[s], rays), params["prim"][s]
+            )
+            sorted_cache[s] = jnp.stack(
+                (jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1]))
+            )
+        return sorted_cache[s]
+
+    for kind, idx in order:
+        if kind == "group":
+            template, types_pos, slot_matrix = groups[idx]
+            if group_slots_fn is not None:
+                slots = group_slots_fn(idx, slot_matrix)
+            else:
+                slots = jnp.asarray(np.asarray(slot_matrix))
+            d, l = _wide_group_candidates(
+                template, types_pos, slots, params, obj_tx, rays
+            )
+            fold(*_reduce_tree_axis(d, l))
+            continue
+        tree = spec.trees[idx]
+        hits = {s: slot_sorted(s) for s in _tree_slots(tree)}
         if tree_supports_intervals(tree):
-            for lo, hi, lo_id, hi_id in eval_tree_intervals(tree, leaf_intervals):
+            intervals = {
+                s: (h[0], h[1], jnp.full(n, s, jnp.int32), jnp.full(n, s, jnp.int32))
+                for s, h in hits.items()
+            }
+            for lo, hi, lo_id, hi_id in eval_tree_intervals(tree, intervals):
                 fold(lo, lo_id)
                 fold(hi, hi_id)
         else:
-            shape_hits, shape_ids = _eval_tree(tree, sorted_hits)
+            shape_hits, shape_ids = _eval_tree(tree, hits)
             for row in range(shape_hits.shape[0]):
                 fold(shape_hits[row], shape_ids[row])
     return hit_distances, hit_leaf, obj_tx
@@ -166,6 +370,78 @@ def scene_nearest_hit(spec: SceneSpec, params, rays):
 # ---------------------------------------------------------------------------
 # INTERACT: normals + masked material physics
 # ---------------------------------------------------------------------------
+
+
+class _ColView:
+    """`pr[s, i] -> column array` adapter so prim.leaf_normal_raw3 reads
+    per-ray gathered parameter rows exactly like SMEM scalars."""
+
+    def __init__(self, rows):
+        self._rows = rows  # (n, P)
+
+    def __getitem__(self, idx):
+        _, i = idx
+        return self._rows[:, i]
+
+
+def _leaf_needs_normal(spec: SceneSpec, s: int) -> bool:
+    slot = spec.leaf_mat_slot[s]
+    return not (spec.mat_packed[slot] and spec.mat_kinds[slot] == matl.KIND_ABSORB)
+
+
+def _world_normals_gathered(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
+    """Per-ray world normals via table gathers (the wide-scene INTERACT).
+
+    The per-leaf masked accumulation of :func:`_world_normals` costs one
+    dense pass over all rays PER LEAF — right for tens of leaves, hopeless
+    for a 256-lenslet array.  Here each ray gathers its hit leaf's inverse
+    transform row and primitive parameters from the (tiny, replicated)
+    scene tables, and normals run as one dense pass per primitive TYPE
+    present — O(#types) passes regardless of leaf count.
+    """
+    S = spec.n_leaves
+    dtype = hit_points.dtype
+    idx = jnp.clip(hit_leaf, 0, S - 1)
+    m16 = obj_tx.reshape(S, 16)[idx]  # (n, 16) per-ray object transform
+    pr = params["prim"][idx]  # (n, P)
+    types_of = jnp.asarray(np.asarray(spec.leaf_types, np.int32))[idx]
+    needs_arr = np.asarray([_leaf_needs_normal(spec, s) for s in range(S)])
+    needs = jnp.asarray(needs_arr)[idx]
+    scale = jnp.asarray(np.asarray(spec.leaf_normal_scale), dtype)[idx]
+
+    def c(k):
+        return m16[:, k]
+
+    hp = hit_points
+    # object-space hit point: affine rows of the gathered transform
+    lp = [
+        c(4 * i + 0) * hp[0] + c(4 * i + 1) * hp[1]
+        + c(4 * i + 2) * hp[2] + c(4 * i + 3) * hp[3]
+        for i in range(3)
+    ]
+
+    view = _ColView(pr)
+    valid = (hit_leaf >= 0) & needs
+    n3 = [jnp.zeros_like(hp[0]) for _ in range(3)]
+    live_types = sorted(
+        {spec.leaf_types[s] for s in range(S) if needs_arr[s]}
+    )
+    for t in live_types:
+        mask = valid & (types_of == t)
+        ln3 = prim.leaf_normal_raw3(t, lp, view, 0)
+        # inverse-transpose: world_i = sum_j m[j][i] * ln_j
+        wn3 = [
+            c(0 + i) * ln3[0] + c(4 + i) * ln3[1] + c(8 + i) * ln3[2]
+            for i in range(3)
+        ]
+        n3 = [jnp.where(mask, w, old) for w, old in zip(wn3, n3)]
+
+    wn = jnp.stack(n3)
+    sq = _sum_rows(wn * wn)
+    zero = sq == 0
+    wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
+    wn = wn * scale
+    return jnp.concatenate((wn, jnp.zeros_like(wn[:1])), axis=0)
 
 
 def _world_normals(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
@@ -265,20 +541,27 @@ def _apply_materials(
 # ---------------------------------------------------------------------------
 
 
-def _generation_step(spec, materials, config, params, state):
+def _generation_step(spec, materials, config, params, state, nearest_fn=None):
     """One PROPAGATE + INTERACT + RECORD step on masked SoA state.
 
     ``state`` is ``(rays: RaySet, alive: (n,) bool)``; returns the new
-    state plus the (15, n) record block and its row mask.
+    state plus the (15, n) record block and its row mask.  ``nearest_fn``
+    overrides the PROPAGATE nearest-hit search (the surface-sharded trace
+    in pyrayt_tpu/parallel/surfaces.py injects its collective fold here).
     """
     rays_state, alive = state
     p_old = rays_state.positions
     v_old = rays_state.directions
     rays = jnp.stack((p_old, v_old))
+    wide = bool(_wide_plan(spec)[1])
 
     # named scopes label the HLO for XProf / jax.profiler traces
     with jax.named_scope("propagate"):
-        hit_distances, hit_leaf, obj_tx = scene_nearest_hit(spec, params, rays)
+        hit_distances, hit_leaf, obj_tx = (
+            nearest_fn(params, rays)
+            if nearest_fn is not None
+            else scene_nearest_hit(spec, params, rays)
+        )
         no_hit = hit_leaf < 0
 
         # advance to the hit point (no-hit rays stay put; _pyrayt.py:404-407)
@@ -286,14 +569,24 @@ def _generation_step(spec, materials, config, params, state):
         p_hit = p_old + t_safe * v_old
 
     with jax.named_scope("normals"):
-        normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
+        normals = (
+            _world_normals_gathered(spec, params, obj_tx, hit_leaf, p_hit)
+            if wide
+            else _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
+        )
 
-    # leaf -> material-slot table lookup as a where-fold (static tiny table;
-    # avoids an (n,) gather which TPU lowers poorly)
+    # leaf -> material-slot table lookup: a where-fold for small scenes
+    # (static tiny table; avoids an (n,) gather which TPU lowers poorly),
+    # one gather for wide ones (a 256-leaf where-fold is 256 dense passes)
     with jax.named_scope("interact"):
-        ray_slot = jnp.zeros_like(hit_leaf)
-        for s, slot in enumerate(spec.leaf_mat_slot):
-            ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
+        if wide:
+            safe = jnp.clip(hit_leaf, 0, spec.n_leaves - 1)
+            ray_slot = jnp.asarray(np.asarray(spec.leaf_mat_slot, np.int32))[safe]
+            ray_slot = jnp.where(no_hit, 0, ray_slot)
+        else:
+            ray_slot = jnp.zeros_like(hit_leaf)
+            for s, slot in enumerate(spec.leaf_mat_slot):
+                ray_slot = jnp.where(hit_leaf == s, slot, ray_slot)
         new_dir, new_index, new_intensity = _apply_materials(
             spec,
             materials,
@@ -317,9 +610,16 @@ def _generation_step(spec, materials, config, params, state):
 
     # record block: old metadata + hit surface + segment endpoints + tilts
     # (parity: _RayTraceDataframe.insert, _pyrayt.py:168-186)
-    public_id = jnp.zeros(hit_leaf.shape, dtype=rays.dtype)
-    for s, leaf_id in enumerate(spec.leaf_ids):
-        public_id = jnp.where(hit_leaf == s, jnp.asarray(leaf_id, rays.dtype), public_id)
+    if wide:
+        safe = jnp.clip(hit_leaf, 0, spec.n_leaves - 1)
+        public_id = jnp.asarray(np.asarray(spec.leaf_ids), rays.dtype)[safe]
+        public_id = jnp.where(no_hit, 0.0, public_id)
+    else:
+        public_id = jnp.zeros(hit_leaf.shape, dtype=rays.dtype)
+        for s, leaf_id in enumerate(spec.leaf_ids):
+            public_id = jnp.where(
+                hit_leaf == s, jnp.asarray(leaf_id, rays.dtype), public_id
+            )
     tilt = safe_normalize(v_old[:3], axis=0)
     record = jnp.concatenate(
         (
@@ -355,10 +655,20 @@ def build_trace_fn(spec: SceneSpec, materials, config: TraceConfig):
     Returned callable: ``fn(params, initial_rays: RaySet) -> TraceResult``.
     Re-traces with different parameter *values* reuse the compilation.
     """
+    return _build_trace_fn(spec, materials, config)
+
+
+def _build_trace_fn(
+    spec: SceneSpec, materials, config: TraceConfig, nearest_fn=None
+):
+    """Uncached builder; ``nearest_fn(params, rays)`` optionally replaces
+    the PROPAGATE search (see pyrayt_tpu/parallel/surfaces.py)."""
     generations = config.generation_limit
 
     def step(params, carry):
-        return _generation_step(spec, materials, config, params, carry)
+        return _generation_step(
+            spec, materials, config, params, carry, nearest_fn=nearest_fn
+        )
 
     if config.remat:
         # save only the (13+1)-row inter-generation carry; recompute the

@@ -49,3 +49,15 @@ def test_reflective_beam_expander(capsys):
     reflective_beam_expander.main(show=False)
     out = capsys.readouterr().out
     assert "beam expansion: 4.000x" in out
+
+
+def test_microlens_array_smoke(capsys):
+    import microlens_array
+
+    value, grad = microlens_array.main(n=4, n_rays=1024)
+    out = capsys.readouterr().out
+    assert "4x4 lenslets" in out
+    assert value >= 0 and abs(grad) > 0
+    import numpy as np
+
+    assert np.isfinite(value) and np.isfinite(grad)
