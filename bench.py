@@ -275,6 +275,43 @@ def _measure_hostedge_fields(fn, params, rays):
     }
 
 
+def _pick_gradient_path(scene, config, detector):
+    """(loss_name, value_and_grad fn, engine label) for the condenser
+    gradient benchmarks.  Fastest first:
+
+    * loss-fused Pallas backward (ops/fused_grad.build_fused_value_and_grad_fn):
+      the RMS-spot cotangent is synthesized in-kernel from scalars — no
+      (G, 15, n) cotangent buffer.  Loss = RMS spot on the DETECTOR (the
+      recommended objective).  PYRAYT_BENCH_FUSED_LOSS=0 disables;
+    * generic fused Pallas forward+backward (PYRAYT_BENCH_FUSED_GRAD=0
+      disables) with the same detector-restricted loss;
+    * XLA scan engine (+ remat per config).
+    """
+    from pyrayt_tpu.analysis.metrics import RmsSpotRadius, rms_spot_radius
+    from pyrayt_tpu.ops import fused_grad, fused_trace as ft
+    from pyrayt_tpu.tracer import engine
+
+    det_id = float(detector.get_id())
+    loss = RmsSpotRadius(surface_id=det_id)
+    fused_ok = (
+        ft.supports_fused(scene.spec)
+        and ft.on_tpu()
+        and fused_grad.bwd_block_rays(config) is not None
+    )
+    if fused_ok and os.environ.get("PYRAYT_BENCH_FUSED_LOSS", "1") != "0":
+        fn = fused_grad.build_fused_value_and_grad_fn(
+            scene.spec, scene.materials, config, loss
+        )
+        return loss, jax.value_and_grad(fn), "fused-pallas-loss-vjp"
+    if fused_ok and os.environ.get("PYRAYT_BENCH_FUSED_GRAD", "1") != "0":
+        trace = fused_grad.build_fused_vjp_trace_fn(
+            scene.spec, scene.materials, config
+        )
+        return loss, jax.value_and_grad(lambda p, r: loss(trace(p, r))), "fused-pallas-vjp"
+    trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+    return loss, jax.value_and_grad(lambda p, r: loss(trace(p, r))), "xla-scan"
+
+
 def _measure_gradient_fields(chain: int = CHAIN, repeats: int = REPEATS):
     """Fwd+bwd measurement for the headline artifact.  Same methodology as
     gradient_main / --gradient (VERDICT r3 #1: one number, not two): chain
@@ -297,22 +334,8 @@ def _measure_gradient_fields(chain: int = CHAIN, repeats: int = REPEATS):
     source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
     scene = compile_scene([lens, detector])
     config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True, remat=True)
-    if (
-        ft.supports_fused(scene.spec)
-        and ft.on_tpu()
-        and fused_grad.bwd_block_rays(config) is not None
-    ):
-        trace = fused_grad.build_fused_vjp_trace_fn(
-            scene.spec, scene.materials, config
-        )
-        engine_name = "fused-pallas-vjp"
-    else:
-        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
-        engine_name = "xla-scan"
+    loss_fn, grad_fn, engine_name = _pick_gradient_path(scene, config, detector)
     rays = source.generate_rays(N_RAYS)
-    grad_fn = jax.value_and_grad(
-        lambda params, r: rms_spot_radius(trace(params, r))
-    )
 
     @jax.jit
     def chained(params, rays0):
@@ -335,6 +358,7 @@ def _measure_gradient_fields(chain: int = CHAIN, repeats: int = REPEATS):
         "gradient_rays_per_second": round(N_RAYS / per_step),
         "gradient_device_ms_per_step": round(per_step * 1e3, 3),
         "gradient_engine": engine_name,
+        "gradient_loss": "rms_spot_radius(detector)",
     }
 
 
@@ -372,26 +396,8 @@ def gradient_main():
     source = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5)
     scene = compile_scene([lens, detector])
     config = TraceConfig(generation_limit=GENERATIONS, fixed_loop=True, remat=remat)
-    use_fused_grad = (
-        os.environ.get("PYRAYT_BENCH_FUSED_GRAD", "1") != "0"
-        and ft.supports_fused(scene.spec)
-        and ft.on_tpu()
-        and fused_grad.bwd_block_rays(config) is not None
-    )
-    if use_fused_grad:
-        trace = fused_grad.build_fused_vjp_trace_fn(
-            scene.spec, scene.materials, config
-        )
-        engine_name = "fused-pallas-vjp"
-    else:
-        trace = engine.build_trace_fn(scene.spec, scene.materials, config)
-        engine_name = "xla-scan"
+    _, grad_fn, engine_name = _pick_gradient_path(scene, config, detector)
     rays = source.generate_rays(N_RAYS)
-
-    def loss(params, rays):
-        return rms_spot_radius(trace(params, rays))
-
-    grad_fn = jax.value_and_grad(loss)
 
     @jax.jit
     def chained(params, rays0):

@@ -19,6 +19,8 @@ from pyrayt_tpu.analysis.checkpoint import (
 from pyrayt_tpu.analysis.gradcheck import check_gradients, finite_difference_grad
 from pyrayt_tpu.analysis.metrics import (
     COL,
+    FocusError,
+    RmsSpotRadius,
     axis_intercepts,
     detector_weights,
     focus_error,
@@ -45,6 +47,8 @@ __all__ = [
     "check_gradients",
     "finite_difference_grad",
     "COL",
+    "FocusError",
+    "RmsSpotRadius",
     "axis_intercepts",
     "detector_weights",
     "focus_error",

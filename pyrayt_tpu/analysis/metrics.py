@@ -13,9 +13,13 @@ x1, y1, z1, x_tilt, y_tilt, z_tilt.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 __all__ = [
+    "RmsSpotRadius",
+    "FocusError",
     "COL",
     "surface_mask",
     "last_generation_mask",
@@ -247,6 +251,46 @@ def soft_focus_error(
     intercepts, w_tilt = _soft_intercepts(result, tilt_ramp)
     w = w * w_tilt
     return weighted_mean((intercepts - target_focus) ** 2, w)
+
+
+# ---------------------------------------------------------------------------
+# Loss descriptors: hashable objects that BEHAVE like the plain metric
+# closures (call them on a TraceResult) but that the fused gradient path
+# can recognize and differentiate in-kernel — the record-cotangent of
+# these losses is a closed-form function of the records plus a handful of
+# global scalars, so the backward Pallas kernel computes it in VMEM
+# instead of XLA materializing a (G, 15, n) cotangent buffer through HBM
+# (measured 2.4 ms/step of pure buffer traffic at 2^20 rays on v5e — see
+# docs/design_notes.md).  Use them anywhere a loss_fn is accepted.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RmsSpotRadius:
+    """``rms_spot_radius(result, surface_id)`` as a recognizable loss."""
+
+    surface_id: float
+
+    def __call__(self, result) -> jnp.ndarray:
+        return rms_spot_radius(result, self.surface_id)
+
+
+@dataclasses.dataclass(frozen=True)
+class FocusError:
+    """``focus_error(result, target, min_tilt, surface_id)`` as a
+    recognizable loss."""
+
+    target_focus: float
+    surface_id: float
+    min_tilt: float = 1e-6
+
+    def __call__(self, result) -> jnp.ndarray:
+        return focus_error(
+            result,
+            self.target_focus,
+            min_tilt=self.min_tilt,
+            surface_id=self.surface_id,
+        )
 
 
 def soft_rms_spot_radius(result, surface_id, half_widths, ramp=None):

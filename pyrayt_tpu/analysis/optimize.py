@@ -51,12 +51,23 @@ def build_objective(
     if not config.fixed_loop:
         config = TraceConfig(**{**config.__dict__, "fixed_loop": True})
 
+    # recognized loss descriptors (metrics.RmsSpotRadius / FocusError) take
+    # the loss-fused backward: the record cotangent is synthesized in-kernel
+    # from a row of scalars instead of a (G, 15, n) HBM buffer
+    fused_loss = fused_grad.loss_plan(loss_fn) is not None
+
     def _pick_trace(scene, itemsize):
         if ft.pick_fused(scene.spec, config, itemsize, need_grad=True):
+            interpret = not ft.on_tpu()
+            if fused_loss:
+                return fused_grad.build_fused_value_and_grad_fn(
+                    scene.spec, scene.materials, config, loss_fn,
+                    interpret=interpret,
+                ), True
             return fused_grad.build_fused_vjp_trace_fn(
-                scene.spec, scene.materials, config, interpret=not ft.on_tpu()
-            )
-        return engine.build_trace_fn(scene.spec, scene.materials, config)
+                scene.spec, scene.materials, config, interpret=interpret
+            ), False
+        return engine.build_trace_fn(scene.spec, scene.materials, config), False
 
     import jax.numpy as jnp
 
@@ -66,7 +77,9 @@ def build_objective(
         with fresh_ids():
             components = build_fn(theta)
             scene = compile_scene(components)
-        trace = _pick_trace(scene, itemsize)
+        trace, is_fused_loss = _pick_trace(scene, itemsize)
+        if is_fused_loss:
+            return trace(scene.params, rays)
         return loss_fn(trace(scene.params, rays))
 
     return objective

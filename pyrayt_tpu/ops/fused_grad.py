@@ -49,7 +49,12 @@ from pyrayt_tpu.core.operations import affine_inverse
 from pyrayt_tpu.ops import fused_trace as ft
 from pyrayt_tpu.scene.compile import SceneSpec
 
-__all__ = ["build_fused_vjp_trace_fn", "bwd_block_rays"]
+__all__ = [
+    "build_fused_vjp_trace_fn",
+    "build_fused_value_and_grad_fn",
+    "bwd_block_rays",
+    "loss_plan",
+]
 
 
 class _Rows:
@@ -65,16 +70,29 @@ class _Rows:
         return self._rows[s][i]
 
 
-def bwd_block_rays(config: TraceConfig, itemsize: int = 4):
+# the loss-mode backward's leaner working set tolerates a higher VMEM
+# budget: at 15 MB the condenser gets full (64, 128) blocks — measured
+# 7.8 ms/step vs 14.6 ms at the 10 MB budget's 48-row blocks (v5e, 2^20
+# rays; the exact-power-of-two tiling with zero ray padding is most of
+# the win — see docs/design_notes.md round-4 table)
+_VMEM_BUDGET_BYTES_LOSS = 15 * 1024 * 1024
+
+
+def bwd_block_rays(config: TraceConfig, itemsize: int = 4, loss_mode: bool = False):
     """Rays per backward block, or None when VMEM cannot fit one.
 
-    Per-ray rows resident: records + record cotangents (2 x 15G), masks
-    (G), initial state (13), final-state cotangent (13) and
-    state-cotangent output (13), all double-buffered (x2), plus ~140 rows
-    of VJP loop working set."""
+    Per-ray rows resident: records (15G) [+ record cotangents (15G) and a
+    final-state cotangent (13) in the generic mode], masks (G), initial
+    state (13) and state-cotangent output (13), all double-buffered (x2),
+    plus ~140 rows of VJP loop working set.  ``loss_mode`` (the fused-loss
+    path) drops the cotangent buffers — the kernel synthesizes them from
+    SMEM scalars — roughly halving the working set and nearly doubling the
+    block."""
     g = config.generation_limit
-    per_ray = itemsize * (2 * (31 * g + 39) + 140)
-    r = ft._VMEM_BUDGET_BYTES // (per_ray * ft.LANE)
+    rows = (16 * g + 26) if loss_mode else (31 * g + 39)
+    budget = _VMEM_BUDGET_BYTES_LOSS if loss_mode else ft._VMEM_BUDGET_BYTES
+    per_ray = itemsize * (2 * rows + 140)
+    r = budget // (per_ray * ft.LANE)
     r = min(ft._MAX_R, (r // ft._SUBLANE) * ft._SUBLANE)
     return int(r) if r >= ft._SUBLANE else None
 
@@ -88,24 +106,42 @@ def _zeros_like_tables(tables):
 
 
 def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
-                     n_prim_cols: int, n_glass_rows: int):
+                     n_prim_cols: int, n_glass_rows: int, loss_drec=None):
+    """The reverse-generation-sweep kernel.
+
+    Two modes share one body:
+
+    * generic (``loss_drec=None``): record and final-state cotangents
+      arrive as HBM buffers (the custom_vjp contract);
+    * fused-loss (``loss_drec(rec, mask_g, scal_ref) -> (15, R, L)``):
+      the record cotangent of a recognized scalar loss is synthesized
+      in-VMEM from a row of SMEM scalars — no (G, 15, n) cotangent buffer
+      ever exists, and the final-state cotangent is identically zero.
+    """
     step = ft._make_step(spec, config)
     S = spec.n_leaves
 
-    def kernel(
-        objtx_ref,
-        prim_ref,
-        glass_ref,
-        state0_ref,   # (13, R, L) the TRUE initial ray state (see below)
-        rec_ref,      # (G, 15, R, L) saved records
-        mask_ref,     # (G, R, L) float masks
-        drec_ref,     # (G, 15, R, L) record cotangents
-        dfstate_ref,  # (13, R, L) final-state cotangent
-        dobjtx_ref,   # (S, 16) SMEM out, accumulated across grid steps
-        dprim_ref,    # (S, P) SMEM out
-        dglass_ref,   # (M, 7) SMEM out
-        dstate0_ref,  # (13, R, L) cotangent of the initial ray state
-    ):
+    def kernel(*refs):
+        if loss_drec is None:
+            (objtx_ref, prim_ref, glass_ref,
+             state0_ref,   # (13, R, L) the TRUE initial ray state (see below)
+             rec_ref,      # (G, 15, R, L) saved records
+             mask_ref,     # (G, R, L) float masks
+             drec_ref,     # (G, 15, R, L) record cotangents
+             dfstate_ref,  # (13, R, L) final-state cotangent
+             dobjtx_ref,   # (S, 16) SMEM out, accumulated across grid steps
+             dprim_ref,    # (S, P) SMEM out
+             dglass_ref,   # (M, 7) SMEM out
+             dstate0_ref,  # (13, R, L) cotangent of the initial ray state
+             ) = refs
+            scal_ref = None
+        else:
+            (objtx_ref, prim_ref, glass_ref,
+             state0_ref, rec_ref, mask_ref,
+             scal_ref,     # (K,) SMEM loss scalars (last = upstream cotangent)
+             dobjtx_ref, dprim_ref, dglass_ref, dstate0_ref,
+             ) = refs
+            drec_ref = dfstate_ref = None
         dtype = rec_ref.dtype
         objtx_vals = _scalar_tables(objtx_ref, S, 16)
         prim_vals = _scalar_tables(prim_ref, S, n_prim_cols)
@@ -114,17 +150,24 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
         def f(ot, pv, gv, carry):
             return step(_Rows(ot), _Rows(pv), _Rows(gv), carry)
 
-        df = dfstate_ref[:]
-        carry_bar0 = (
-            df[0:3],          # d positions xyz
-            df[4:7],          # d directions xyz
-            df[8],            # d generation
-            df[9],            # d intensity
-            df[10],           # d wavelength
-            df[11],           # d index
-            df[12],           # d id
-            jnp.zeros_like(df[8]),  # d alive (non-diff float mask)
-        )
+        if loss_drec is None:
+            df = dfstate_ref[:]
+            carry_bar0 = (
+                df[0:3],          # d positions xyz
+                df[4:7],          # d directions xyz
+                df[8],            # d generation
+                df[9],            # d intensity
+                df[10],           # d wavelength
+                df[11],           # d index
+                df[12],           # d id
+                jnp.zeros_like(df[8]),  # d alive (non-diff float mask)
+            )
+        else:
+            zero_block = jnp.zeros(rec_ref.shape[2:], dtype)
+            carry_bar0 = (
+                jnp.zeros((3,) + rec_ref.shape[2:], dtype),
+                jnp.zeros((3,) + rec_ref.shape[2:], dtype),
+            ) + (zero_block,) * 6
         d_ot0 = _zeros_like_tables(objtx_vals)
         d_pv0 = _zeros_like_tables(prim_vals)
         d_gv0 = _zeros_like_tables(glass_vals)
@@ -136,7 +179,10 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
             g = generations - 1 - i
             rec = rec_ref[pl.ds(g, 1)][0]     # (15, R, L)
             mask_g = mask_ref[pl.ds(g, 1)][0]
-            drec = drec_ref[pl.ds(g, 1)][0]
+            if loss_drec is None:
+                drec = drec_ref[pl.ds(g, 1)][0]
+            else:
+                drec = loss_drec(rec, mask_g, scal_ref)
             # input-state reconstruction (see module docstring): positions,
             # unit directions, and metadata are the record's own rows; the
             # incoming alive mask is the previous generation's record mask.
@@ -226,6 +272,334 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
     return kernel
 
 
+def _run_bwd(
+    spec: SceneSpec,
+    config: TraceConfig,
+    interpret: bool,
+    params,
+    state0,
+    records,
+    masks,
+    d_records=None,
+    d_fstate=None,
+    scal=None,
+    loss_drec=None,
+):
+    """Run the backward kernel over ray blocks; returns
+    ``(d_objtx (S,16), d_prim, d_glass, d_state0 (13, n))``.
+
+    Generic mode passes ``d_records``/``d_fstate`` buffers; fused-loss
+    mode passes ``scal`` (a small scalar row) + ``loss_drec`` instead.
+    """
+    from pyrayt_tpu.tracer.engine import N_RECORD_COLS
+
+    generations = config.generation_limit
+    loss_mode = loss_drec is not None
+    dtype = records.dtype
+    n = records.shape[-1]
+    r_rows = bwd_block_rays(config, jnp.dtype(dtype).itemsize, loss_mode=loss_mode)
+    if r_rows is None:
+        raise ValueError(
+            "generation_limit too large for the backward kernel's VMEM "
+            "budget; differentiate the XLA engine instead"
+        )
+    block = r_rows * ft.LANE
+    n_pad = -(-n // block) * block
+    pad3 = ((0, 0), (0, 0), (0, n_pad - n))
+    pad2 = ((0, 0), (0, n_pad - n))
+
+    def tile(x, spec_pad):
+        x = jnp.pad(x, spec_pad)
+        return x.reshape(x.shape[:-1] + (n_pad // ft.LANE, ft.LANE))
+
+    obj_tx = affine_inverse(params["world"]).reshape(spec.n_leaves, 16)
+    prim_p = params["prim"]
+    glass = params["glass"]
+    if glass.shape[0] == 0:
+        glass = jnp.zeros((1, matl.N_GLASS_COEFFS), dtype)
+    n_glass_rows = glass.shape[0]
+    n_prim_cols = prim_p.shape[1]
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem13 = pl.BlockSpec(
+        (13, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    vmem_rec = pl.BlockSpec(
+        (generations, N_RECORD_COLS, r_rows, ft.LANE),
+        lambda i: (0, 0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vmem_mask = pl.BlockSpec(
+        (generations, r_rows, ft.LANE), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    inputs = [
+        obj_tx.astype(dtype),
+        prim_p.astype(dtype),
+        glass.astype(dtype),
+        tile(state0.astype(dtype), pad2),
+        tile(records, pad3),
+        tile(masks.astype(dtype), pad2),
+    ]
+    in_specs = [smem, smem, smem, vmem13, vmem_rec, vmem_mask]
+    if loss_mode:
+        inputs.append(scal.astype(dtype))
+        in_specs.append(smem)
+    else:
+        inputs += [tile(d_records, pad3), tile(d_fstate, pad2)]
+        in_specs += [vmem_rec, vmem13]
+
+    kernel = _make_bwd_kernel(
+        spec, config, generations, n_prim_cols, n_glass_rows, loss_drec=loss_drec
+    )
+    d_objtx, d_prim, d_glass, d_state0 = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block,),
+        in_specs=in_specs,
+        out_specs=(smem, smem, smem, vmem13),
+        out_shape=(
+            jax.ShapeDtypeStruct((spec.n_leaves, 16), dtype),
+            jax.ShapeDtypeStruct((spec.n_leaves, n_prim_cols), dtype),
+            jax.ShapeDtypeStruct((n_glass_rows, matl.N_GLASS_COEFFS), dtype),
+            jax.ShapeDtypeStruct((13, n_pad // ft.LANE, ft.LANE), dtype),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    d_state0 = d_state0.reshape(13, n_pad)[:, :n]
+    return d_objtx, d_prim, d_glass, d_state0
+
+
+# ---------------------------------------------------------------------------
+# Fused losses: recognized scalar objectives whose record-cotangent is a
+# closed form of (records, a few global scalars).  The generic custom_vjp
+# path must materialize a full (G, 15, n) cotangent buffer through HBM —
+# measured 2.4 ms of pure buffer traffic per 2^20-ray step on v5e, plus
+# half the backward kernel's VMEM working set.  For these losses the
+# backward kernel synthesizes the cotangent rows in VMEM instead.
+# ---------------------------------------------------------------------------
+
+# record row indices (engine record layout)
+_R_SURF, _R_X0, _R_Y0 = 5, 6, 7
+_R_Y1, _R_Z1 = 10, 11
+_R_XT, _R_YT = 12, 13
+
+
+class _LossPlan:
+    """scalars(records, masks) -> (K,); value(scalars) -> scalar;
+    drec(rec (15,R,L), mask (R,L), scal_ref) -> (15,R,L).  The LAST
+    scalar slot is reserved for the upstream cotangent g."""
+
+    def __init__(self, scalars, value, drec, n_scalars):
+        self.scalars = scalars
+        self.value = value
+        self.drec = drec
+        self.n_scalars = n_scalars
+
+
+def _zeros_rows_like(template_rows, filled):
+    """(15, R, L) block with only the rows in ``filled`` (index -> value)
+    nonzero."""
+    rows = [
+        filled.get(i, jnp.zeros_like(template_rows[0]))
+        for i in range(template_rows.shape[0])
+    ]
+    return jnp.stack(rows)
+
+
+def _rms_plan(loss) -> _LossPlan:
+    sid = float(loss.surface_id)
+
+    def scalars(records, masks):
+        dtype = records.dtype
+        w = (masks & (records[:, _R_SURF, :] == sid)).astype(dtype)
+        W = jnp.maximum(jnp.sum(w), 1.0)
+        y = records[:, _R_Y1, :]
+        z = records[:, _R_Z1, :]
+        cy = jnp.sum(y * w) / W
+        cz = jnp.sum(z * w) / W
+        r2 = (y - cy) ** 2 + (z - cz) ** 2
+        L = jnp.sqrt(jnp.sum(r2 * w) / W)
+        return jnp.stack([cy, cz, W, L])
+
+    def value(scal):
+        return scal[3]
+
+    def drec(rec, mask_g, scal_ref):
+        # dL/dy1_i = m_i (y1_i - cy) / (W * L); centroid terms cancel
+        # exactly (sum of m (y - cy) = 0).  L == 0 (all hits coincident)
+        # is guarded to 0 gradient — the autodiff sqrt would NaN there.
+        m = (mask_g > 0.5) & (rec[_R_SURF] == scal_ref[5])
+        L = scal_ref[3]
+        safe = jnp.where(L > 0, scal_ref[2] * L, 1.0)
+        coef = jnp.where(m & (L > 0), scal_ref[4] / safe, 0.0)
+        return _zeros_rows_like(
+            rec,
+            {
+                _R_Y1: coef * (rec[_R_Y1] - scal_ref[0]),
+                _R_Z1: coef * (rec[_R_Z1] - scal_ref[1]),
+            },
+        )
+
+    # scal layout: [cy, cz, W, L, g, surface_id]
+    return _LossPlan(scalars, value, drec, n_scalars=6)
+
+
+def _focus_plan(loss) -> _LossPlan:
+    sid = float(loss.surface_id)
+    target = float(loss.target_focus)
+    min_tilt = float(loss.min_tilt)
+
+    def scalars(records, masks):
+        dtype = records.dtype
+        yt = records[:, _R_YT, :]
+        tilted = jnp.abs(yt) > min_tilt
+        w = (masks & (records[:, _R_SURF, :] == sid) & tilted).astype(dtype)
+        W = jnp.maximum(jnp.sum(w), 1.0)
+        safe_yt = jnp.where(tilted, yt, 1.0)
+        t = records[:, _R_X0, :] - records[:, _R_XT, :] * records[:, _R_Y0, :] / safe_yt
+        value = jnp.sum(w * (t - target) ** 2) / W
+        return jnp.stack([W, value])
+
+    def value(scal):
+        return scal[1]
+
+    def drec(rec, mask_g, scal_ref):
+        yt = rec[_R_YT]
+        tilted = jnp.abs(yt) > scal_ref[4]
+        m = (mask_g > 0.5) & (rec[_R_SURF] == scal_ref[3]) & tilted
+        safe_yt = jnp.where(tilted, yt, 1.0)
+        t = rec[_R_X0] - rec[_R_XT] * rec[_R_Y0] / safe_yt
+        base = jnp.where(m, 2.0 * (t - scal_ref[5]) * scal_ref[2] / scal_ref[0], 0.0)
+        return _zeros_rows_like(
+            rec,
+            {
+                _R_X0: base,
+                _R_XT: base * (-rec[_R_Y0] / safe_yt),
+                _R_Y0: base * (-rec[_R_XT] / safe_yt),
+                _R_YT: base * (rec[_R_XT] * rec[_R_Y0] / (safe_yt * safe_yt)),
+            },
+        )
+
+    # scal layout: [W, value, g, surface_id, min_tilt, target]
+    return _LossPlan(scalars, value, drec, n_scalars=6)
+
+
+def loss_plan(loss):
+    """The fused in-kernel plan for a recognized loss descriptor, or None.
+
+    Recognized: :class:`pyrayt_tpu.analysis.metrics.RmsSpotRadius` and
+    :class:`~.FocusError` (detector-restricted — the recommended
+    objectives).  Anything else differentiates through the generic
+    custom_vjp path.
+    """
+    from pyrayt_tpu.analysis import metrics as _m
+
+    if isinstance(loss, _m.RmsSpotRadius) and loss.surface_id is not None:
+        return _rms_plan(loss)
+    if isinstance(loss, _m.FocusError) and loss.surface_id is not None:
+        return _focus_plan(loss)
+    return None
+
+
+@lru_cache(maxsize=64)
+def build_fused_value_and_grad_fn(
+    spec: SceneSpec, materials, config: TraceConfig, loss, interpret: bool = False
+):
+    """``fn(params, rays) -> scalar`` for a recognized loss descriptor,
+    reverse-mode differentiable with the loss-fused backward kernel:
+    ``jax.value_and_grad(fn)`` runs fused forward -> tiny scalar
+    reductions -> loss-aware Pallas backward.  Raises ValueError for
+    unrecognized losses (callers should fall back to
+    build_fused_vjp_trace_fn).
+    """
+    from pyrayt_tpu.tracer.rayset import RaySet
+
+    plan = loss_plan(loss)
+    if plan is None:
+        raise ValueError(f"loss {loss!r} has no fused plan")
+    if not ft.supports_fused(spec):
+        raise ValueError("scene has non-packed materials; use the XLA engine")
+    assert ft._ZERO_RECORDS
+
+    fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
+
+    def _static_tail(loss):
+        from pyrayt_tpu.analysis import metrics as _m
+
+        if isinstance(loss, _m.RmsSpotRadius):
+            return (float(loss.surface_id),)
+        return (
+            float(loss.surface_id),
+            float(loss.min_tilt),
+            float(loss.target_focus),
+        )
+
+    tail = _static_tail(loss)
+
+    @jax.custom_vjp
+    def traced_loss(params, rays: RaySet):
+        result = fwd_fn(params, rays)
+        return plan.value(plan.scalars(result.records, result.record_mask))
+
+    def fwd_rule(params, rays):
+        result = fwd_fn(params, rays)
+        scal = plan.scalars(result.records, result.record_mask)
+        return plan.value(scal), (
+            params, rays, result.records, result.record_mask, scal
+        )
+
+    def bwd_rule(residuals, g):
+        params, initial_rays, records, masks, scal = residuals
+        dtype = records.dtype
+        scal_full = jnp.concatenate(
+            (
+                scal,
+                jnp.asarray(g, dtype)[None],
+                jnp.asarray(tail, dtype),
+            )
+        )
+        state0 = jnp.concatenate(
+            (initial_rays.positions, initial_rays.directions, initial_rays.metadata)
+        )
+        d_objtx, d_prim, d_glass, d_state0 = _run_bwd(
+            spec, config, interpret, params, state0, records, masks,
+            scal=scal_full, loss_drec=plan.drec,
+        )
+
+        _, inv_vjp = jax.vjp(
+            lambda w: affine_inverse(w).reshape(spec.n_leaves, 16),
+            params["world"],
+        )
+        (d_world,) = inv_vjp(d_objtx.astype(params["world"].dtype))
+
+        d_glass_out = d_glass.astype(params["glass"].dtype)
+        if params["glass"].shape[0] == 0:
+            d_glass_out = jnp.zeros_like(params["glass"])
+        else:
+            d_glass_out = d_glass_out[: params["glass"].shape[0]]
+
+        d_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+        d_params["world"] = d_world
+        d_params["prim"] = d_prim.astype(params["prim"].dtype)
+        d_params["glass"] = d_glass_out
+
+        rd = initial_rays.positions.dtype
+        d_rays = initial_rays.replace(
+            positions=d_state0[0:4].astype(rd),
+            directions=d_state0[4:8].astype(rd),
+            generation=d_state0[8].astype(rd),
+            intensity=d_state0[9].astype(rd),
+            wavelength=d_state0[10].astype(rd),
+            index=d_state0[11].astype(rd),
+            id=d_state0[12].astype(rd),
+        )
+        return d_params, d_rays
+
+    traced_loss.defvjp(fwd_rule, bwd_rule)
+    return jax.jit(traced_loss)
+
+
 @lru_cache(maxsize=64)
 def build_fused_vjp_trace_fn(
     spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False
@@ -249,101 +623,10 @@ def build_fused_vjp_trace_fn(
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
 
     def _bwd_pallas(params, state0, d_records, d_fstate, records, masks):
-        """Run the backward kernel over ray blocks; returns
-        (d_objtx (S,16), d_prim, d_glass, d_state0 (13, n))."""
-        dtype = records.dtype
-        n = records.shape[-1]
-        r_rows = bwd_block_rays(config, jnp.dtype(dtype).itemsize)
-        if r_rows is None:
-            raise ValueError(
-                "generation_limit too large for the backward kernel's VMEM "
-                "budget; differentiate the XLA engine instead"
-            )
-        block = r_rows * ft.LANE
-        n_pad = -(-n // block) * block
-        pad = ((0, 0), (0, 0), (0, n_pad - n))
-
-        def tile(x, spec_pad):
-            x = jnp.pad(x, spec_pad)
-            return x.reshape(x.shape[:-1] + (n_pad // ft.LANE, ft.LANE))
-
-        recs_t = tile(records, pad)
-        drecs_t = tile(d_records, pad)
-        masks_t = tile(masks.astype(dtype), ((0, 0), (0, n_pad - n)))
-        dfstate_t = tile(d_fstate, ((0, 0), (0, n_pad - n)))
-        state0_t = tile(state0.astype(dtype), ((0, 0), (0, n_pad - n)))
-
-        obj_tx = affine_inverse(params["world"]).reshape(spec.n_leaves, 16)
-        prim_p = params["prim"]
-        glass = params["glass"]
-        if glass.shape[0] == 0:
-            glass = jnp.zeros((1, matl.N_GLASS_COEFFS), dtype)
-        n_glass_rows = glass.shape[0]
-        n_prim_cols = prim_p.shape[1]
-
-        kernel = _make_bwd_kernel(
-            spec, config, generations, n_prim_cols, n_glass_rows
+        return _run_bwd(
+            spec, config, interpret, params, state0, records, masks,
+            d_records=d_records, d_fstate=d_fstate,
         )
-        grid = (n_pad // block,)
-        d_objtx, d_prim, d_glass, d_state0 = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (generations, N_RECORD_COLS, r_rows, ft.LANE),
-                    lambda i: (0, 0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (generations, r_rows, ft.LANE),
-                    lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (generations, N_RECORD_COLS, r_rows, ft.LANE),
-                    lambda i: (0, 0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (13, r_rows, ft.LANE), lambda i: (0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((spec.n_leaves, 16), dtype),
-                jax.ShapeDtypeStruct((spec.n_leaves, n_prim_cols), dtype),
-                jax.ShapeDtypeStruct((n_glass_rows, matl.N_GLASS_COEFFS), dtype),
-                jax.ShapeDtypeStruct((13, n_pad // ft.LANE, ft.LANE), dtype),
-            ),
-            interpret=interpret,
-        )(
-            obj_tx.astype(dtype),
-            prim_p.astype(dtype),
-            glass.astype(dtype),
-            state0_t,
-            recs_t,
-            masks_t,
-            drecs_t,
-            dfstate_t,
-        )
-        d_state0 = d_state0.reshape(13, n_pad)[:, :n]
-        return d_objtx, d_prim, d_glass, d_state0
 
     @jax.custom_vjp
     def trace(params, initial_rays: RaySet) -> TraceResult:

@@ -427,9 +427,68 @@ def _make_step(spec: SceneSpec, config: TraceConfig):
 
 def _make_kernel(
     spec: SceneSpec, config: TraceConfig, generations: int,
-    static_loop: bool = False,
+    static_loop=False,
 ):
+    """``static_loop`` selects the generation-loop driver:
+
+    * False — ``lax.while_loop`` with early exit (production default);
+    * True — fully static unroll, every generation runs unconditionally;
+    * "predicated" — static unroll where each generation's body sits under
+      ``pl.when(any ray alive)`` with the carry in a VMEM scratch ref:
+      static record stores + scf.if-skipped dead generations, trading the
+      measured scf.while carry/branch overhead (~0.58 ms/generation on the
+      v5e condenser) for one branch per generation.  Experimental (round-4
+      item #8); measured in docs/design_notes.md.
+    """
     step = _make_step(spec, config)
+
+    if static_loop == "predicated":
+        def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
+                   rec_ref, mask_ref, fstate_ref, carry_ref):
+            state = state_ref[:]
+            dtype = state.dtype
+            if _ZERO_RECORDS:
+                rec_ref[:] = jnp.zeros_like(rec_ref)
+            mask_ref[:] = jnp.zeros_like(mask_ref)
+            carry_ref[:] = jnp.concatenate(
+                (
+                    state[0:3], state[4:7],
+                    state[8][None], state[9][None], state[10][None],
+                    state[11][None], state[12][None],
+                    jnp.ones_like(state[8])[None],  # alive
+                )
+            )
+            for g in range(generations):
+                alive_any = jnp.max(carry_ref[11]) > 0.5  # alive row
+
+                @pl.when(alive_any)
+                def _(g=g):
+                    c = carry_ref[:]
+                    carry = (c[0:3], c[3:6], c[6], c[7], c[8], c[9], c[10], c[11])
+                    new_carry, record, mask_f = step(
+                        objtx_ref, prim_ref, glass_ref, carry
+                    )
+                    rec_ref[g] = record          # static store
+                    mask_ref[g] = mask_f
+                    p3, v3, gen, inten, wav, ridx, rid, living_f = new_carry
+                    carry_ref[:] = jnp.concatenate(
+                        (
+                            p3, v3, gen[None], inten[None], wav[None],
+                            ridx[None], rid[None], living_f[None],
+                        )
+                    )
+            c = carry_ref[:]
+            ones = jnp.ones_like(c[6])
+            zeros = jnp.zeros_like(c[6])
+            fstate_ref[:] = jnp.concatenate(
+                (
+                    c[0:3], ones[None],
+                    c[3:6], zeros[None],
+                    c[6][None], c[7][None], c[8][None], c[9][None], c[10][None],
+                )
+            )
+
+        return kernel
 
     def kernel(state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref):
         state = state_ref[:]
@@ -561,9 +620,15 @@ def build_fused_trace_fn(
         if glass.shape[0] == 0:  # SMEM refs need >= 1 row
             glass = jnp.zeros((1, matl.N_GLASS_COEFFS), dtype)
 
+        scratch_shapes = (
+            [pltpu.VMEM((12, r_rows, LANE), dtype)]
+            if static_loop == "predicated"
+            else []
+        )
         records, masks, fstate = pl.pallas_call(
             kernel,
             grid=(n_pad // block,),
+            scratch_shapes=scratch_shapes,
             in_specs=[
                 pl.BlockSpec(
                     (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM

@@ -1,0 +1,136 @@
+"""Loss-fused backward parity (round 4, VERDICT #1).
+
+build_fused_value_and_grad_fn synthesizes the record cotangent of a
+recognized loss IN the backward kernel from a row of scalars.  Its value
+and every parameter gradient must match jax.value_and_grad of the same
+loss through the XLA scan engine (interpret mode, CPU f64).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyrayt_tpu import components as comp
+from pyrayt_tpu import materials as matl
+from pyrayt_tpu.analysis.metrics import FocusError, RmsSpotRadius
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.ops import fused_grad
+from pyrayt_tpu.scene.compile import compile_scene
+from pyrayt_tpu.tracer import engine
+
+
+def _condenser(n_rays=64):
+    lens = comp.thick_lens(
+        1.0, -1.0, 0.25, aperture=0.5, material=matl.glass["BK7"]
+    )
+    det = comp.baffle((1.0, 1.0)).move_x(1.0)
+    scene = compile_scene([lens, det])
+    rays = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(n_rays)
+    return scene, rays, det
+
+
+def _xla_reference(scene, rays, config, loss):
+    trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+    return jax.value_and_grad(lambda p, r: loss(trace(p, r)))(scene.params, rays)
+
+
+def _fused(scene, rays, config, loss):
+    fn = fused_grad.build_fused_value_and_grad_fn(
+        scene.spec, scene.materials, config, loss, interpret=True
+    )
+    return jax.value_and_grad(fn)(scene.params, rays)
+
+
+def _assert_match(make_loss, n_rays=64, generation_limit=6, rtol=1e-8, atol=1e-10):
+    scene, rays, det = _condenser(n_rays)
+    loss = make_loss(float(det.get_id()))
+    config = TraceConfig(generation_limit=generation_limit, fixed_loop=True)
+    v_x, g_x = _xla_reference(scene, rays, config, loss)
+    v_f, g_f = _fused(scene, rays, config, loss)
+    assert np.isclose(float(v_f), float(v_x), rtol=1e-12)
+    for key in ("world", "prim", "glass"):
+        np.testing.assert_allclose(
+            np.asarray(g_f[key]), np.asarray(g_x[key]), rtol=rtol, atol=atol,
+            err_msg=f"params[{key!r}] gradient differs for {loss}",
+        )
+    assert float(jnp.abs(jnp.asarray(g_x["world"])).max()) > 1e-8
+    return v_x
+
+
+def test_rms_spot_radius_fused_loss_parity():
+    _assert_match(lambda sid: RmsSpotRadius(surface_id=sid))
+
+
+def test_focus_error_fused_loss_parity():
+    _assert_match(lambda sid: FocusError(target_focus=1.0, surface_id=sid))
+
+
+def test_descriptors_callable_like_plain_metrics():
+    from pyrayt_tpu.analysis.metrics import focus_error, rms_spot_radius
+
+    scene, rays, det = _condenser()
+    config = TraceConfig(generation_limit=6, fixed_loop=True)
+    trace = engine.build_trace_fn(scene.spec, scene.materials, config)
+    result = trace(scene.params, rays)
+    sid = float(det.get_id())
+    assert float(RmsSpotRadius(sid)(result)) == float(rms_spot_radius(result, sid))
+    assert float(FocusError(1.0, sid)(result)) == float(
+        focus_error(result, 1.0, surface_id=sid)
+    )
+
+
+def test_loss_plan_recognition():
+    assert fused_grad.loss_plan(RmsSpotRadius(3.0)) is not None
+    assert fused_grad.loss_plan(FocusError(1.0, 3.0)) is not None
+    assert fused_grad.loss_plan(lambda r: 0.0) is None
+
+
+def test_build_objective_routes_fused_loss(monkeypatch):
+    """build_objective with a recognized descriptor produces the same
+    value/grad as with the equivalent plain closure."""
+    from pyrayt_tpu.analysis import build_objective
+    from pyrayt_tpu.analysis.metrics import rms_spot_radius
+    from pyrayt_tpu.ops import fused_trace as ft
+    from pyrayt_tpu.scene.objects import fresh_ids
+
+    rays = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(32)
+    config = TraceConfig(generation_limit=4, fixed_loop=True, use_fused=True)
+
+    def build(theta):
+        lens = comp.thick_lens(
+            theta, -theta, 0.25, aperture=0.5, material=matl.glass["BK7"],
+            r1_sign=1, r2_sign=-1,
+        )
+        det = comp.baffle((1.0, 1.0)).move_x(1.0)
+        return [lens, det]
+
+    with fresh_ids():
+        sid = float(build(jnp.asarray(1.0))[-1].get_id())
+
+    obj_desc = build_objective(build, rays, RmsSpotRadius(sid), config)
+    obj_plain = build_objective(
+        build, rays, lambda r: rms_spot_radius(r, sid), config
+    )
+    theta0 = jnp.asarray(1.0)
+    v1, g1 = jax.value_and_grad(obj_desc)(theta0)
+    v2, g2 = jax.value_and_grad(obj_plain)(theta0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-8)
+
+
+def test_rms_zero_spot_gradient_guard():
+    """All hits coincident (L == 0): the fused plan returns zero gradient
+    instead of the autodiff NaN."""
+    # single axial ray -> one detector hit -> rms == 0
+    scene, _, det = _condenser(n_rays=1)
+    rays = comp.LineOfRays(0.0).move_x(-0.5).generate_rays(1)
+    config = TraceConfig(generation_limit=4, fixed_loop=True)
+    fn = fused_grad.build_fused_value_and_grad_fn(
+        scene.spec, scene.materials, config,
+        RmsSpotRadius(float(det.get_id())), interpret=True,
+    )
+    v, g = jax.value_and_grad(fn)(scene.params, rays)
+    assert float(v) == 0.0
+    for key in ("world", "prim", "glass"):
+        assert np.all(np.isfinite(np.asarray(g[key])))
