@@ -61,3 +61,24 @@ def test_microlens_array_smoke(capsys):
     import numpy as np
 
     assert np.isfinite(value) and np.isfinite(grad)
+
+
+def test_lens_design_notebook_cells(capsys):
+    """The shipped notebook's code cells execute end to end (reference
+    parity: examples/lens_design.ipynb)."""
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    path = os.path.join(EXAMPLES_DIR, "lens_design.ipynb")
+    with open(path) as f:
+        nb = json.load(f)
+    src = "\n".join(
+        "".join(c["source"]) for c in nb["cells"] if c["cell_type"] == "code"
+    )
+    src = src.replace("STEPS = 300", "STEPS = 2")  # smoke tier
+    exec(compile(src, path, "exec"), {})
+    out = capsys.readouterr().out
+    assert "optimized radii:" in out
+    assert "chromatic aberration reduced:" in out
