@@ -504,7 +504,10 @@ def verify_main():
             {
                 "metric": "fused_vs_xla_disagreement_rate",
                 "value": round(rate, 6),
-                "unit": f"fraction of {N_RAYS} condenser rays with any differing record (atol {ATOL})",
+                "unit": (
+                    f"fraction of {N_RAYS} condenser rays with any "
+                    f"differing record (atol {ATOL})"
+                ),
                 "vs_baseline": round(rate / BOUND, 4),
                 "mask_disagreement_rate": round(mask_rate, 6),
                 "bound": BOUND,
