@@ -648,6 +648,135 @@ def profile_main():
     print(json.dumps(out))
 
 
+def gradcheck_main():
+    """On-hardware finite-difference validation of the doublet objective
+    (PYRAYT_BENCH_MODE=gradcheck or --gradcheck; VERDICT round 3, next #5).
+
+    tests/test_analysis/test_gradcheck.py validates gradients on CPU f64;
+    this mode validates them where the optimizer actually walks: the
+    production dtype (f32) on the attached accelerator, at three points
+    along a real optimization trajectory (start / mid / end of a short
+    cosine-decayed adam run), central-differencing 2 of the 4 log-radius
+    parameters per point.  Tolerances are f32-loose by necessity: the
+    objective is a full trace, so FD at eps ~1e-4 carries ~1e-3 relative
+    noise.  Writes the checked-in artifact bench_profiles/fd_check.json.
+
+    Reference counterpart: the scipy FD loop at
+    /root/reference/examples/lens_design.ipynb cells 28-33 — there FD *is*
+    the optimizer; here it is the audit of the analytic gradient.
+    """
+    import numpy as np
+    import optax
+
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu import materials as matl
+    from pyrayt_tpu.analysis import FocusError, build_objective, optimize
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.scene.objects import fresh_ids
+    from pyrayt_tpu.tracer.rayset import concatenate
+
+    # --- the doublet system (example-parity constants, mm) ---
+    DIAM, F_SYS = 25.4, 50.0
+    M1, M2 = matl.glass["BK7"], matl.glass["SF2"]
+    T1, T2 = 8.0, 2.0
+    v1, v2 = M1.abbe(), M2.abbe()
+    p1 = (1 / F_SYS) * v1 / (v1 - v2)
+    p2 = (1 / F_SYS) * v2 / (v2 - v1)
+    n1 = float(M1.index_at(0.633))
+    n2 = float(M2.index_at(0.633))
+    r1 = (n1 - 1) * (1 + np.sqrt(1 - p1 * T1 / n1)) / p1
+    r4 = 1.0 / (1.0 / -r1 - p2 / (n2 - 1))
+    r0 = np.array([r1, -r1, -r1, r4])
+    signs = np.sign(r0)
+
+    def build(log_mags):
+        radii = jnp.asarray(signs, jnp.float32) * jnp.exp(log_mags)
+        l1 = comp.thick_lens(radii[0], radii[1], T1, aperture=DIAM,
+                             material=M1, r1_sign=1, r2_sign=-1)
+        l2 = comp.thick_lens(radii[2], radii[3], T2, aperture=DIAM,
+                             material=M2, r1_sign=-1, r2_sign=-1
+                             ).move_x(1.01 * (T1 + T2) / 2)
+        det = comp.baffle((DIAM, DIAM)).move_x(F_SYS)
+        return [l1, l2, det]
+
+    sets = []
+    for wl in (0.45, 0.5, 0.55, 0.6, 0.65, 0.7):
+        src = (comp.LineOfRays(0.45 * DIAM / 2, wavelength=wl)
+               .move_x(-10.0).move_y(DIAM / 8))
+        sets.append(src.generate_rays(10))
+    rays = concatenate(sets)
+    rays = rays.replace(id=jnp.arange(rays.n_rays, dtype=rays.positions.dtype))
+
+    theta0 = jnp.log(jnp.abs(jnp.asarray(r0, jnp.float32)))
+    with fresh_ids():
+        det_id = float(build(theta0)[-1].get_id())
+    objective = build_objective(
+        build, rays, FocusError(F_SYS, det_id),
+        TraceConfig(generation_limit=8, fixed_loop=True),
+    )
+
+    steps = int(os.environ.get("PYRAYT_BENCH_GRADCHECK_STEPS", 40))
+    schedule = optax.cosine_decay_schedule(5e-3, steps)
+    half, _ = optimize(objective, theta0, steps=steps // 2,
+                       optimizer=optax.adam(schedule))
+    final, _ = optimize(objective, half, steps=steps - steps // 2,
+                        optimizer=optax.adam(schedule))
+    points = {"start": theta0, "mid": half, "end": final}
+
+    grad_fn = jax.jit(jax.value_and_grad(objective))
+    EPS = float(os.environ.get("PYRAYT_BENCH_GRADCHECK_EPS", 3e-4))
+    checks = []
+    for name, theta in points.items():
+        value, grads = grad_fn(theta)
+        grads = np.asarray(grads)
+        for k in (0, 3):  # crown front radius, flint rear radius
+            e = np.zeros_like(grads)
+            e[k] = EPS
+            plus = float(objective(theta + e))
+            minus = float(objective(theta - e))
+            fd = (plus - minus) / (2 * EPS)
+            denom = max(abs(fd), abs(float(grads[k])), 1e-6)
+            checks.append({
+                "point": name,
+                "param": k,
+                "loss": float(value),
+                "analytic": float(grads[k]),
+                "fd_central": fd,
+                "rel_err": abs(float(grads[k]) - fd) / denom,
+            })
+
+    worst = max(c["rel_err"] for c in checks)
+    BOUND = 0.05  # f32 full-trace FD noise floor; documented loose
+    artifact = {
+        "platform": jax.devices()[0].platform,
+        "dtype": "float32",
+        "eps": EPS,
+        "bound": BOUND,
+        "worst_rel_err": worst,
+        "within_bound": worst <= BOUND,
+        "checks": checks,
+    }
+    profile_dir = os.path.join(os.path.dirname(__file__), "bench_profiles")
+    os.makedirs(profile_dir, exist_ok=True)
+    with open(os.path.join(profile_dir, "fd_check.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+
+    print(json.dumps({
+        "metric": "fd_gradient_worst_rel_err",
+        "value": round(worst, 6),
+        "unit": (
+            "max relative |analytic - central FD| over 2 params x 3 "
+            "trajectory points, doublet objective, f32 on-device"
+        ),
+        "vs_baseline": round(worst / BOUND, 4),
+        "within_bound": worst <= BOUND,
+        "platform": artifact["platform"],
+        "artifact": "bench_profiles/fd_check.json",
+    }))
+    if worst > BOUND:
+        raise SystemExit(f"FD check failed: {worst} > {BOUND}")
+
+
 def scaling_main():
     """Scaling-efficiency mode (PYRAYT_BENCH_MODE=scaling or --scaling).
 
@@ -740,5 +869,7 @@ if __name__ == "__main__":
         profile_main()
     elif mode == "verify" or "--verify" in sys.argv:
         verify_main()
+    elif mode == "gradcheck" or "--gradcheck" in sys.argv:
+        gradcheck_main()
     else:
         main()
