@@ -94,7 +94,10 @@ def bwd_block_rays(config: TraceConfig, itemsize: int = 4, loss_mode: bool = Fal
     per_ray = itemsize * (2 * rows + 140)
     r = budget // (per_ray * ft.LANE)
     r = min(ft._MAX_R, (r // ft._SUBLANE) * ft._SUBLANE)
-    return int(r) if r >= ft._SUBLANE else None
+    if r < ft._SUBLANE:
+        return None
+    # pow2 clamp: measured 2x on non-pow2 blocks (see ft.pow2_floor)
+    return ft.pow2_floor(r)
 
 
 def _scalar_tables(ref, n_rows, n_cols):

@@ -137,10 +137,20 @@ def pick_fused(
     return use is True or (use is None and feasible and on_tpu())
 
 
+def pow2_floor(r: int) -> int:
+    """Largest power of two <= r.  Block-row counts are clamped to powers
+    of two: the round-4 backward sweep measured non-pow2 blocks (24/40/48
+    rows) at ~2x the step time of pow2 ones (16/32/64) — alignment and
+    zero-padding of the 2^k-ray batch dominate block-size sensitivity
+    (docs/design_notes.md)."""
+    return 1 << (int(r).bit_length() - 1)
+
+
 def fused_block_rays(config: TraceConfig, itemsize: int = 4):
-    """Rays per block — the largest (R x 128) tile whose VMEM working set
-    fits the budget — or ``None`` when even the minimum tile overflows
-    (huge generation_limit): callers must fall back to the XLA engine.
+    """Rays per block — the largest power-of-two (R x 128) tile whose VMEM
+    working set fits the budget — or ``None`` when even the minimum tile
+    overflows (huge generation_limit): callers must fall back to the XLA
+    engine.
 
     Per-ray bytes: in/out state (2 x 13 rows), records (G x 15), masks (G),
     all double-buffered by the pipeline (x2), plus ~60 rows of loop-carry
@@ -149,7 +159,9 @@ def fused_block_rays(config: TraceConfig, itemsize: int = 4):
     per_ray = itemsize * (2 * (26 + 16 * g) + 60)
     r = _VMEM_BUDGET_BYTES // (per_ray * LANE)
     r = min(_MAX_R, (r // _SUBLANE) * _SUBLANE)
-    return int(r) if r >= _SUBLANE else None
+    if r < _SUBLANE:
+        return None
+    return pow2_floor(r)
 
 
 # ---------------------------------------------------------------------------

@@ -228,3 +228,42 @@ def test_trace_rays_dispatch_respects_config():
     cfg_bad = TraceConfig(generation_limit=4000, use_fused=True)
     with pytest.raises(ValueError, match="use_fused=True"):
         engine.trace_rays(scene, rays, cfg_bad)
+
+
+def test_predicated_loop_driver_parity():
+    """The predicated-static loop driver (round-4 #8 experiment: static
+    record stores + pl.when-skipped generations, carry in VMEM scratch)
+    is output-identical to the production while-loop driver."""
+    lens = comp.thick_lens(1.0, -1.0, 0.25, aperture=0.5, material=matl.glass["BK7"])
+    det = comp.baffle((1.0, 1.0)).move_x(1.0)
+    scene = compile_scene([lens, det])
+    rays = comp.ConeOfRays(cone_angle=10.0).move_x(-0.5).generate_rays(200)
+    cfg = TraceConfig(generation_limit=6, fixed_loop=True)
+    a = fused_trace.build_fused_trace_fn(
+        scene.spec, scene.materials, cfg, interpret=True
+    )(scene.params, rays)
+    b = fused_trace.build_fused_trace_fn(
+        scene.spec, scene.materials, cfg, interpret=True,
+        static_loop="predicated",
+    )(scene.params, rays)
+    np.testing.assert_array_equal(np.asarray(a.record_mask), np.asarray(b.record_mask))
+    np.testing.assert_array_equal(np.asarray(a.records), np.asarray(b.records))
+    np.testing.assert_array_equal(
+        np.asarray(a.final_rays.positions), np.asarray(b.final_rays.positions)
+    )
+    assert int(a.generations_run) == int(b.generations_run)
+
+
+def test_block_rows_are_powers_of_two():
+    """Non-pow2 blocks measured 2x slower (round-4 sweep); sizing clamps."""
+    from pyrayt_tpu.ops import fused_grad
+
+    for g in (3, 4, 6, 8, 10, 16):
+        cfg = TraceConfig(generation_limit=g)
+        for r in (
+            fused_trace.fused_block_rays(cfg, 4),
+            fused_grad.bwd_block_rays(cfg, 4),
+            fused_grad.bwd_block_rays(cfg, 4, loss_mode=True),
+        ):
+            if r is not None:
+                assert r & (r - 1) == 0, (g, r)
