@@ -231,13 +231,15 @@ def main():
 def _measure_hostedge_fields(fn, params, rays):
     """Frame-materialization cost at production scale: device->host fetch +
     pandas build for the full (G, 15, n) record buffer, naive vs the
-    device-compacted path (pyrayt_tpu/tracer/frame.py).
+    sliced dtype-tight path (pyrayt_tpu/tracer/frame.py).
 
-    Honest relay note: on this host the TPU sits behind a relay fetching at
-    ~40 MB/s, so these numbers are dominated by fetch bytes — which is
-    exactly what compaction cuts (live rows only, f32-tight).  On a
-    directly-attached TPU the same byte reduction applies against PCIe/DMA
-    bandwidth instead.
+    Honest relay note: this host's relay fetches at ~300 MB/s (measured
+    round 4; the round-3 ~40 MB/s figure was stale), so these numbers are
+    dominated by fetch bytes — which is what generation slicing cuts
+    (condenser: 3 live of 6 budgeted generations -> half the bytes).  A
+    device-side row-packing scatter was measured NET SLOWER (TPU scatters
+    serialize) and is deliberately absent.  On a directly-attached TPU the
+    same byte reduction applies against PCIe/DMA bandwidth instead.
     """
     from pyrayt_tpu.tracer.frame import records_to_dataframe
 
@@ -271,7 +273,10 @@ def _measure_hostedge_fields(fn, params, rays):
         "frame_ms_compacted_fetch": round(compact_s * 1e3, 1),
         "frame_fetch_speedup": round(naive_s / compact_s, 2),
         "frame_mb_device_buffer": round(g * c * n * itemsize / 1e6, 1),
-        "frame_note": "relay fetch ~40 MB/s dominates; compaction fetches live f32 rows only",
+        "frame_note": (
+            "sliced fetch: live generations only, f32-tight "
+            "(device scatter-packing measured net slower; see design notes)"
+        ),
     }
 
 

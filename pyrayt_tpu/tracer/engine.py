@@ -389,25 +389,61 @@ def _leaf_needs_normal(spec: SceneSpec, s: int) -> bool:
     return not (spec.mat_packed[slot] and spec.mat_kinds[slot] == matl.KIND_ABSORB)
 
 
-def _world_normals_gathered(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points):
-    """Per-ray world normals via table gathers (the wide-scene INTERACT).
+def _gathered_leaf_table(spec: SceneSpec, params, obj_tx):
+    """One packed (S, 16+P+5) per-leaf table for the wide-scene INTERACT.
+
+    A TPU gather's cost scales with the number of gather ops far more than
+    with the gathered row width, so the object transform (16), primitive
+    params (P), and the static per-leaf scalars (type code, needs-normal,
+    normal scale, material slot, public id) pack into ONE table gathered
+    ONCE per generation — measured ~20x cheaper than the per-column
+    gathers it replaces (docs/design_notes.md round-4 wide-scene table).
+    Static columns ride as floats (all exactly representable).
+    """
+    S = spec.n_leaves
+    dtype = obj_tx.dtype
+    static_cols = np.stack(
+        [
+            np.asarray(spec.leaf_types, np.float64),
+            np.asarray([_leaf_needs_normal(spec, s) for s in range(S)], np.float64),
+            np.asarray(spec.leaf_normal_scale, np.float64),
+            np.asarray(spec.leaf_mat_slot, np.float64),
+            np.asarray(spec.leaf_ids, np.float64),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate(
+        (
+            obj_tx.reshape(S, 16),
+            params["prim"].astype(dtype),
+            jnp.asarray(static_cols, dtype),
+        ),
+        axis=1,
+    )
+
+
+def _world_normals_gathered(spec: SceneSpec, params, obj_tx, hit_leaf, hit_points,
+                            leaf_rows=None):
+    """Per-ray world normals via ONE packed-table gather (wide INTERACT).
 
     The per-leaf masked accumulation of :func:`_world_normals` costs one
     dense pass over all rays PER LEAF — right for tens of leaves, hopeless
-    for a 256-lenslet array.  Here each ray gathers its hit leaf's inverse
-    transform row and primitive parameters from the (tiny, replicated)
-    scene tables, and normals run as one dense pass per primitive TYPE
-    present — O(#types) passes regardless of leaf count.
+    for a 256-lenslet array.  Here each ray gathers its hit leaf's row of
+    the packed table (:func:`_gathered_leaf_table`) and normals run as one
+    dense pass per primitive TYPE present — O(#types) passes regardless of
+    leaf count.
     """
     S = spec.n_leaves
     dtype = hit_points.dtype
-    idx = jnp.clip(hit_leaf, 0, S - 1)
-    m16 = obj_tx.reshape(S, 16)[idx]  # (n, 16) per-ray object transform
-    pr = params["prim"][idx]  # (n, P)
-    types_of = jnp.asarray(np.asarray(spec.leaf_types, np.int32))[idx]
-    needs_arr = np.asarray([_leaf_needs_normal(spec, s) for s in range(S)])
-    needs = jnp.asarray(needs_arr)[idx]
-    scale = jnp.asarray(np.asarray(spec.leaf_normal_scale), dtype)[idx]
+    P = params["prim"].shape[1]
+    if leaf_rows is None:
+        idx = jnp.clip(hit_leaf, 0, S - 1)
+        leaf_rows = _gathered_leaf_table(spec, params, obj_tx)[idx]
+    m16 = leaf_rows[:, :16]
+    pr = leaf_rows[:, 16:16 + P]
+    types_of = leaf_rows[:, 16 + P]
+    needs = leaf_rows[:, 16 + P + 1] > 0.5
+    scale = leaf_rows[:, 16 + P + 2]
 
     def c(k):
         return m16[:, k]
@@ -424,7 +460,7 @@ def _world_normals_gathered(spec: SceneSpec, params, obj_tx, hit_leaf, hit_point
     valid = (hit_leaf >= 0) & needs
     n3 = [jnp.zeros_like(hp[0]) for _ in range(3)]
     live_types = sorted(
-        {spec.leaf_types[s] for s in range(S) if needs_arr[s]}
+        {spec.leaf_types[s] for s in range(S) if _leaf_needs_normal(spec, s)}
     )
     for t in live_types:
         mask = valid & (types_of == t)
@@ -569,20 +605,26 @@ def _generation_step(spec, materials, config, params, state, nearest_fn=None):
         p_hit = p_old + t_safe * v_old
 
     with jax.named_scope("normals"):
-        normals = (
-            _world_normals_gathered(spec, params, obj_tx, hit_leaf, p_hit)
-            if wide
-            else _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
-        )
+        if wide:
+            # ONE packed-table gather feeds normals, material dispatch and
+            # the record's public surface id (gather count, not row width,
+            # is what TPU gathers charge for)
+            idx = jnp.clip(hit_leaf, 0, spec.n_leaves - 1)
+            leaf_rows = _gathered_leaf_table(spec, params, obj_tx)[idx]
+            normals = _world_normals_gathered(
+                spec, params, obj_tx, hit_leaf, p_hit, leaf_rows=leaf_rows
+            )
+        else:
+            leaf_rows = None
+            normals = _world_normals(spec, params, obj_tx, hit_leaf, p_hit)
 
     # leaf -> material-slot table lookup: a where-fold for small scenes
-    # (static tiny table; avoids an (n,) gather which TPU lowers poorly),
-    # one gather for wide ones (a 256-leaf where-fold is 256 dense passes)
+    # (static tiny table); the packed-gather column for wide ones (a
+    # 256-leaf where-fold is 256 dense passes)
     with jax.named_scope("interact"):
         if wide:
-            safe = jnp.clip(hit_leaf, 0, spec.n_leaves - 1)
-            ray_slot = jnp.asarray(np.asarray(spec.leaf_mat_slot, np.int32))[safe]
-            ray_slot = jnp.where(no_hit, 0, ray_slot)
+            P = params["prim"].shape[1]
+            ray_slot = jnp.where(no_hit, 0.0, leaf_rows[:, 16 + P + 3])
         else:
             ray_slot = jnp.zeros_like(hit_leaf)
             for s, slot in enumerate(spec.leaf_mat_slot):
@@ -611,9 +653,10 @@ def _generation_step(spec, materials, config, params, state, nearest_fn=None):
     # record block: old metadata + hit surface + segment endpoints + tilts
     # (parity: _RayTraceDataframe.insert, _pyrayt.py:168-186)
     if wide:
-        safe = jnp.clip(hit_leaf, 0, spec.n_leaves - 1)
-        public_id = jnp.asarray(np.asarray(spec.leaf_ids), rays.dtype)[safe]
-        public_id = jnp.where(no_hit, 0.0, public_id)
+        P = params["prim"].shape[1]
+        public_id = jnp.where(
+            no_hit, 0.0, leaf_rows[:, 16 + P + 4].astype(rays.dtype)
+        )
     else:
         public_id = jnp.zeros(hit_leaf.shape, dtype=rays.dtype)
         for s, leaf_id in enumerate(spec.leaf_ids):
