@@ -33,7 +33,7 @@ import pyrayt_tpu as pyrayt
 import pyrayt_tpu.materials as matl
 from pyrayt_tpu import components
 from pyrayt_tpu.analysis import (
-    FocusError,
+    SoftFocusError,
     build_objective,
     chromatic_aberration,
     optimize,
@@ -149,11 +149,20 @@ def main(steps: int = 300, show: bool = False) -> None:
     with fresh_ids():
         imager_id = float(build(theta0)[-1].get_id())
 
-    # FocusError is a recognized loss descriptor: same math as
-    # focus_error(result, f, surface_id=...), but on TPU the gradient runs
-    # the loss-fused Pallas backward (no record-cotangent buffer)
+    # SoftFocusError is a recognized loss descriptor: C1 vignetting
+    # weights (spike-free at f32 — design notes) AND, on TPU, the
+    # loss-fused Pallas backward (no record-cotangent buffer).  On this
+    # detector the weights saturate at 1 for all paraxial rays, so values
+    # match plain focus_error until a marginal ray nears the edge.
     objective = build_objective(
-        build, rays, FocusError(SYSTEM_FOCUS, imager_id), config
+        build,
+        rays,
+        SoftFocusError(
+            SYSTEM_FOCUS, imager_id,
+            half_widths=(LENS_DIAMETER / 2, LENS_DIAMETER / 2),
+            ramp=LENS_DIAMETER / 20,
+        ),
+        config,
     )
 
     import optax

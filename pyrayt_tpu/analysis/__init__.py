@@ -21,6 +21,7 @@ from pyrayt_tpu.analysis.metrics import (
     COL,
     FocusError,
     RmsSpotRadius,
+    SoftFocusError,
     axis_intercepts,
     detector_weights,
     focus_error,
@@ -49,6 +50,7 @@ __all__ = [
     "COL",
     "FocusError",
     "RmsSpotRadius",
+    "SoftFocusError",
     "axis_intercepts",
     "detector_weights",
     "focus_error",

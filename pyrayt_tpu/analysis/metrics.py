@@ -20,6 +20,7 @@ import jax.numpy as jnp
 __all__ = [
     "RmsSpotRadius",
     "FocusError",
+    "SoftFocusError",
     "COL",
     "surface_mask",
     "last_generation_mask",
@@ -290,6 +291,30 @@ class FocusError:
             self.target_focus,
             min_tilt=self.min_tilt,
             surface_id=self.surface_id,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftFocusError:
+    """``soft_focus_error(result, target, surface_id, half_widths, ramp,
+    tilt_ramp)`` as a recognizable loss — the spike-free objective AND the
+    loss-fused backward, together.  ``ramp`` must be explicit (it is part
+    of the loss definition the kernel differentiates)."""
+
+    target_focus: float
+    surface_id: float
+    half_widths: tuple
+    ramp: float
+    tilt_ramp: tuple = (1e-6, 1e-5)
+
+    def __call__(self, result) -> jnp.ndarray:
+        return soft_focus_error(
+            result,
+            self.target_focus,
+            self.surface_id,
+            self.half_widths,
+            ramp=self.ramp,
+            tilt_ramp=self.tilt_ramp,
         )
 
 

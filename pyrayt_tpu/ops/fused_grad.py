@@ -488,13 +488,89 @@ def _focus_plan(loss) -> _LossPlan:
     return _LossPlan(scalars, value, drec, n_scalars=6)
 
 
+def _soft_focus_plan(loss) -> _LossPlan:
+    """soft_focus_error's cotangent: the t-chain terms of the plain focus
+    plan, PLUS weight-derivative terms — w depends on (y1, z1, y_tilt)
+    through the C1 windows, and d/dw_i of a weighted mean is
+    ((e_i^2 - L) / W).  Smoothstep s(t) = t^2(3-2t) has s'(t) = 6t(1-t)
+    on [0, 1], 0 outside — all closed-form in-kernel."""
+    sid = float(loss.surface_id)
+    target = float(loss.target_focus)
+    hy, hz = (float(v) for v in loss.half_widths)
+    ramp = float(loss.ramp)
+    t0, t1 = (float(v) for v in loss.tilt_ramp)
+
+    from pyrayt_tpu.analysis.metrics import smoothstep
+
+    def _sprime(u):
+        u_in = (u > 0) & (u < 1)
+        return jnp.where(u_in, 6.0 * u * (1.0 - u), 0.0)
+
+    def _weights(surf, mask_b, y1, z1, yt):
+        m = mask_b & (surf == sid)
+        wy = smoothstep((hy - jnp.abs(y1)) / ramp)
+        wz = smoothstep((hz - jnp.abs(z1)) / ramp)
+        wt = smoothstep((jnp.abs(yt) - t0) / (t1 - t0))
+        w = jnp.where(m, wy * wz, 0.0) * wt
+        return m, wy, wz, wt, w
+
+    def scalars(records, masks):
+        surf = records[:, _R_SURF, :]
+        y1 = records[:, _R_Y1, :]
+        z1 = records[:, _R_Z1, :]
+        yt = records[:, _R_YT, :]
+        _, _, _, _, w = _weights(surf, masks, y1, z1, yt)
+        W = jnp.maximum(jnp.sum(w), 1e-12)
+        safe_yt = jnp.where(jnp.abs(yt) > t0, yt, t0)
+        t = records[:, _R_X0, :] - records[:, _R_XT, :] * records[:, _R_Y0, :] / safe_yt
+        value = jnp.sum(w * (t - target) ** 2) / W
+        return jnp.stack([W, value])
+
+    def value(scal):
+        return scal[1]
+
+    def drec(rec, mask_g, scal_ref):
+        W, L, g = scal_ref[0], scal_ref[1], scal_ref[2]
+        y1, z1, yt = rec[_R_Y1], rec[_R_Z1], rec[_R_YT]
+        m, wy, wz, wt, w = _weights(rec[_R_SURF], mask_g > 0.5, y1, z1, yt)
+        tilted = jnp.abs(yt) > t0
+        safe_yt = jnp.where(tilted, yt, t0)
+        t = rec[_R_X0] - rec[_R_XT] * rec[_R_Y0] / safe_yt
+        e = t - target
+        base = 2.0 * e * w / W * g          # t-chain coefficient
+        dE = (e * e - L) / W * g            # d loss / d w_i
+        # weight derivatives (chain through |.|)
+        dwy = _sprime((hy - jnp.abs(y1)) / ramp) * (-jnp.sign(y1) / ramp)
+        dwz = _sprime((hz - jnp.abs(z1)) / ramp) * (-jnp.sign(z1) / ramp)
+        dwt = _sprime((jnp.abs(yt) - t0) / (t1 - t0)) * (jnp.sign(yt) / (t1 - t0))
+        mf = m.astype(rec.dtype)
+        # dt/dyt is zero where safe_yt is the clamped constant
+        t_yt = jnp.where(
+            tilted, base * rec[_R_XT] * rec[_R_Y0] / (safe_yt * safe_yt), 0.0
+        )
+        return _zeros_rows_like(
+            rec,
+            {
+                _R_X0: base,
+                _R_XT: base * (-rec[_R_Y0] / safe_yt),
+                _R_Y0: base * (-rec[_R_XT] / safe_yt),
+                _R_YT: t_yt + mf * wy * wz * dwt * dE,
+                _R_Y1: mf * dwy * wz * wt * dE,
+                _R_Z1: mf * wy * dwz * wt * dE,
+            },
+        )
+
+    # scal layout: [W, value, g]; statics baked into the closures
+    return _LossPlan(scalars, value, drec, n_scalars=3)
+
+
 def loss_plan(loss):
     """The fused in-kernel plan for a recognized loss descriptor, or None.
 
-    Recognized: :class:`pyrayt_tpu.analysis.metrics.RmsSpotRadius` and
-    :class:`~.FocusError` (detector-restricted — the recommended
-    objectives).  Anything else differentiates through the generic
-    custom_vjp path.
+    Recognized: :class:`pyrayt_tpu.analysis.metrics.RmsSpotRadius`,
+    :class:`~.FocusError` and :class:`~.SoftFocusError`
+    (detector-restricted — the recommended objectives).  Anything else
+    differentiates through the generic custom_vjp path.
     """
     from pyrayt_tpu.analysis import metrics as _m
 
@@ -502,6 +578,8 @@ def loss_plan(loss):
         return _rms_plan(loss)
     if isinstance(loss, _m.FocusError) and loss.surface_id is not None:
         return _focus_plan(loss)
+    if isinstance(loss, _m.SoftFocusError) and loss.surface_id is not None:
+        return _soft_focus_plan(loss)
     return None
 
 
@@ -532,11 +610,13 @@ def build_fused_value_and_grad_fn(
 
         if isinstance(loss, _m.RmsSpotRadius):
             return (float(loss.surface_id),)
-        return (
-            float(loss.surface_id),
-            float(loss.min_tilt),
-            float(loss.target_focus),
-        )
+        if isinstance(loss, _m.FocusError):
+            return (
+                float(loss.surface_id),
+                float(loss.min_tilt),
+                float(loss.target_focus),
+            )
+        return ()  # SoftFocusError bakes its statics into the plan closures
 
     tail = _static_tail(loss)
 

@@ -134,3 +134,32 @@ def test_rms_zero_spot_gradient_guard():
     assert float(v) == 0.0
     for key in ("world", "prim", "glass"):
         assert np.all(np.isfinite(np.asarray(g[key])))
+
+
+def test_soft_focus_error_fused_loss_parity():
+    """SoftFocusError's in-kernel cotangent (t-chain + weight-derivative
+    terms) matches jax.grad of the XLA engine with the same soft loss."""
+    from pyrayt_tpu.analysis.metrics import SoftFocusError
+
+    # window sized so the condenser's hit ring (|y|, |z| up to ~0.171)
+    # lands INSIDE the ramp band — weights are intermediate, so the
+    # weight-derivative terms carry real gradient here
+    scene, rays, det = _condenser(n_rays=96)
+    loss = SoftFocusError(
+        target_focus=1.0,
+        surface_id=float(det.get_id()),
+        half_widths=(0.15, 0.15),
+        ramp=0.10,
+    )
+    config = TraceConfig(generation_limit=6, fixed_loop=True)
+    v_x, g_x = _xla_reference(scene, rays, config, loss)
+    v_f, g_f = _fused(scene, rays, config, loss)
+    assert np.isclose(float(v_f), float(v_x), rtol=1e-12)
+    for key in ("world", "prim", "glass"):
+        np.testing.assert_allclose(
+            np.asarray(g_f[key]), np.asarray(g_x[key]), rtol=1e-7, atol=1e-10,
+            err_msg=f"params[{key!r}] gradient differs for SoftFocusError",
+        )
+    # weight-derivative terms are live: perturbing the window width moves
+    # the loss, so the world gradient is nonzero
+    assert float(jnp.abs(jnp.asarray(g_x["world"])).max()) > 1e-8
