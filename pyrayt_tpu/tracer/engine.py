@@ -396,9 +396,10 @@ def _gathered_leaf_table(spec: SceneSpec, params, obj_tx):
     with the gathered row width, so the object transform (16), primitive
     params (P), and the static per-leaf scalars (type code, needs-normal,
     normal scale, material slot, public id) pack into ONE table gathered
-    ONCE per generation — measured ~20x cheaper than the per-column
-    gathers it replaces (docs/design_notes.md round-4 wide-scene table).
-    Static columns ride as floats (all exactly representable).
+    ONCE per generation instead of ~27 per-column gathers — measured worth
+    up to 1.6x on mid-size arrays (docs/design_notes.md round-4 wide-scene
+    table; at large leaf counts the (trees x rays) sweep dominates either
+    way).  Static columns ride as floats (all exactly representable).
     """
     S = spec.n_leaves
     dtype = obj_tx.dtype

@@ -7,17 +7,18 @@ generations in order, and within a generation rays in their original
 (source) order — the reference compacts dead rays but preserves relative
 order, which both paths below reproduce.
 
-Fetch strategy (measured on the v5e relay, docs/design_notes.md):
+Fetch strategy — measured, then settled (docs/design_notes.md round 4):
 
-* **naive** — fetch the whole buffer, boolean-select on the host.
-* **sliced** (default for large accelerator buffers) — fetch one scalar
-  (the live-generation count), then transfer only ``records[:g_live]``
-  cast float32 on device.  A 6-generation budget whose trace dies after 3
-  generations fetches half the bytes for the cost of one extra round
-  trip; f64 buffers halve again from the on-device cast.  No per-row
-  device work: a row-packing scatter was measured NET SLOWER on TPU (a
-  (G*n)-row scatter serializes — 6.2 s vs 1.2 s naive at 2^20 x 6), so
-  dead rows within a live generation ride along and are dropped on host.
+* **naive** (the default) — fetch the whole committed buffer, boolean-
+  select on the host.  Measured 0.4-0.9 s for the 2^20 x 6 condenser's
+  377 MB on the v5e relay.
+* **compact=True** — fetch one scalar (the live-generation count) and
+  transfer only ``records[:g_live]`` cast float32 on device.  Fewer
+  bytes, but fetching a COMPUTED array (any on-device slice/cast) takes
+  a ~15x slower transfer path on this stack (6-8 s, interleaved-measured
+  — not an ordering artifact), and a row-packing scatter variant lost
+  the same way.  Kept as an option for backends where computed-array
+  fetches are not pathological (and for halving f64 CPU buffers).
 """
 
 from __future__ import annotations
@@ -46,8 +47,6 @@ FRAME_COLUMNS = (
     "z_tilt",
 )
 
-# slice-fetch automatically above this many buffer elements (~4 MB of f32)
-_AUTO_COMPACT_ELEMENTS = 1 << 20
 
 
 def live_generations(record_mask) -> int:
@@ -55,25 +54,15 @@ def live_generations(record_mask) -> int:
     return int(jnp.sum(jnp.any(jnp.asarray(record_mask), axis=1)))
 
 
-def _on_accelerator(x) -> bool:
-    try:
-        devices = x.devices() if callable(getattr(x, "devices", None)) else None
-        return bool(devices) and all(d.platform != "cpu" for d in devices)
-    except Exception:
-        return False
-
-
 def records_to_dataframe(records, record_mask, compact=None) -> pd.DataFrame:
     """Build the results frame from the device buffer.
 
-    ``compact=None`` (default) uses the sliced dtype-tight fetch when the
-    buffer is on an accelerator and large; ``True``/``False`` force.
+    ``compact=None`` resolves to the naive full-buffer fetch — measured
+    fastest on real hardware (module docstring); ``True`` forces the
+    sliced dtype-tight variant.
     """
     if compact is None:
-        compact = (
-            getattr(records, "size", 0) >= _AUTO_COMPACT_ELEMENTS
-            and _on_accelerator(records)
-        )
+        compact = False
     if compact:
         g = max(live_generations(record_mask), 1)
         records = np.asarray(jnp.asarray(records)[:g].astype(jnp.float32))
