@@ -862,6 +862,102 @@ def scaling_main():
     )
 
 
+def wide_main():
+    """Wide-scene benchmark (--wide): microlens arrays through BOTH wide
+    paths — the XLA batched-group engine and the WIDE fused Pallas kernel
+    (ops/fused_trace._make_step_wide) — with an on-chip record-agreement
+    probe.  Measured numbers live in docs/design_notes.md ("Wide fused
+    kernel"); last run: 19.1x at 73 leaves, 11.8x at 513, 0.0 record
+    difference.
+    """
+    import numpy as np
+
+    import pyrayt_tpu as pyrayt
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_trace as ft
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.tracer import engine
+
+    def build_mla(n):
+        lenslets = comp.microlens_array(2.0, 0.25, n, n, 1.0)
+        focus = pyrayt.lensmakers_equation(2.0, np.inf, 1.5, 0.25)
+        detector = comp.baffle((2.0 * n, 2.0 * n)).move_x(focus)
+        scene = compile_scene(lenslets + [detector])
+        src = comp.GridOfRays(n * 1.05, n * 1.05).move_x(-1.0)
+        rays = src.generate_rays(N_RAYS)
+        return scene, rays.replace(
+            id=jnp.arange(N_RAYS, dtype=rays.positions.dtype)
+        )
+
+    def device_time(fn, params, rays, k):
+        @jax.jit
+        def chained(params, rays0):
+            def body(i, acc):
+                r = fn(params, rays0.replace(positions=rays0.positions + i * 1e-30))
+                return acc + r.records[0, 0, 0] + r.final_rays.positions[0, 0]
+
+            return lax.fori_loop(0, k, body, jnp.asarray(0.0, rays0.positions.dtype))
+
+        jax.block_until_ready(chained(params, rays))
+        best = float("inf")
+        for _ in range(max(2, REPEATS // 2)):
+            t0 = time.perf_counter()
+            float(np.asarray(chained(params, rays)))
+            best = min(best, time.perf_counter() - t0)
+        return best / k
+
+    config = TraceConfig(generation_limit=4, fixed_loop=True)
+    out = {
+        "metric": "wide_scene_fused_speedup",
+        "unit": "xla_wide_ms / fused_wide_ms at 2**20 rays, G=4",
+        "n_rays": N_RAYS,
+    }
+    for n, k_fused, k_xla in ((6, 8, 4), (16, 4, 2)):
+        scene, rays = build_mla(n)
+        if not ft.supports_fused_wide(scene.spec):
+            out[f"mla_{n}x{n}"] = "wide kernel unsupported"
+            continue
+        fused_fn = ft.build_fused_trace_fn(
+            scene.spec, scene.materials, config, interpret=not ft.on_tpu()
+        )
+        xla_fn = engine.build_trace_fn(scene.spec, scene.materials, config)
+        # agreement probe at 2**17 rays
+        small = rays.replace(
+            **{
+                f: getattr(rays, f)[..., : 1 << 17]
+                for f in (
+                    "positions", "directions", "generation", "intensity",
+                    "wavelength", "index", "id",
+                )
+            }
+        )
+        rf = fused_fn(scene.params, small)
+        rx = xla_fn(scene.params, small)
+        mf, mx = np.asarray(rf.record_mask), np.asarray(rx.record_mask)
+        sel = (mf & mx)[:, None, :]
+        diff = float(
+            np.where(
+                sel, np.abs(np.asarray(rf.records) - np.asarray(rx.records)), 0.0
+            ).max()
+        )
+        assert (mf == mx).all(), "wide fused kernel record masks diverge"
+        assert diff < 1e-3, f"wide fused kernel record diff {diff}"
+        t_f = device_time(fused_fn, scene.params, rays, k_fused)
+        t_x = device_time(xla_fn, scene.params, rays, k_xla)
+        out[f"mla_{n}x{n}"] = {
+            "leaves": scene.spec.n_leaves,
+            "fused_ms": round(t_f * 1e3, 2),
+            "xla_ms": round(t_x * 1e3, 2),
+            "speedup": round(t_x / t_f, 2),
+            "max_masked_record_diff": diff,
+        }
+    last = [v for v in out.values() if isinstance(v, dict)]
+    out["value"] = last[-1]["speedup"] if last else None
+    out["vs_baseline"] = None
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -876,5 +972,7 @@ if __name__ == "__main__":
         verify_main()
     elif mode == "gradcheck" or "--gradcheck" in sys.argv:
         gradcheck_main()
+    elif mode == "wide" or "--wide" in sys.argv:
+        wide_main()
     else:
         main()

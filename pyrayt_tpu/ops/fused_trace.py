@@ -62,6 +62,7 @@ from pyrayt_tpu.scene.compile import SceneSpec
 
 __all__ = [
     "supports_fused",
+    "supports_fused_wide",
     "build_fused_trace_fn",
     "on_tpu",
     "pick_fused",
@@ -90,22 +91,53 @@ def on_tpu() -> bool:
 
 
 # the kernel unrolls the scene per leaf; past this count the generated
-# Mosaic program (and its compile time) stops paying for itself — the XLA
-# engine's batched wide-scene path (tracer/engine.py) takes over for
-# lens/microlens arrays (measured scaling in docs/design_notes.md)
+# Mosaic program (and its compile time) stops paying for itself.  Wider
+# scenes whose trees batch into same-shape groups (lens/microlens arrays)
+# run the WIDE kernel variant below — an in-VMEM fori_loop over the tree
+# axis; scenes that are wide AND heterogeneous fall back to the XLA
+# engine's batched path (tracer/engine.py)
 _FUSED_MAX_LEAVES = 32
+# wide-kernel leaf cap: scene tables (transforms 16 + prim params + ids)
+# live in SMEM as scalars; this bounds their footprint (~176 B/leaf)
+_FUSED_WIDE_MAX_LEAVES = 4096
 
 
 def supports_fused(spec: SceneSpec) -> bool:
-    """The fused kernel covers every reference material; custom Python
-    TracableMaterials (arbitrary host code) and very wide scenes (leaf
-    count above ``_FUSED_MAX_LEAVES`` — lens arrays) fall back to the XLA
-    engine."""
+    """The (unrolled) fused kernel covers every reference material; custom
+    Python TracableMaterials (arbitrary host code) fall back to the XLA
+    engine, and scenes past ``_FUSED_MAX_LEAVES`` leaves dispatch to the
+    wide kernel variant (:func:`supports_fused_wide`) instead."""
     return (
         0 < spec.n_leaves <= _FUSED_MAX_LEAVES
         and all(spec.mat_packed)
         and all(k in _PACKED_KINDS for k in spec.mat_kinds)
     )
+
+
+def supports_fused_wide(spec: SceneSpec) -> bool:
+    """True when the WIDE fused kernel covers the scene: packed materials,
+    leaf count past the unrolled kernel's cap, the engine's wide plan finds
+    at least one batchable same-shape tree group, and whatever is NOT
+    grouped (odd singles like the detector baffle) is small enough to
+    unroll.  Forward-only: gradients through wide scenes differentiate the
+    XLA engine (pick_fused enforces this)."""
+    from pyrayt_tpu.tracer.engine import _tree_slots, _wide_plan
+
+    if not (
+        _FUSED_MAX_LEAVES < spec.n_leaves <= _FUSED_WIDE_MAX_LEAVES
+        and all(spec.mat_packed)
+        and all(k in _PACKED_KINDS for k in spec.mat_kinds)
+    ):
+        return False
+    order, groups = _wide_plan(spec)
+    if not groups:
+        return False
+    single_leaves = sum(
+        len(_tree_slots(spec.trees[idx]))
+        for kind, idx in order
+        if kind == "single"
+    )
+    return single_leaves <= _FUSED_MAX_LEAVES
 
 
 def pick_fused(
@@ -122,13 +154,24 @@ def pick_fused(
     kernel, plus the backward kernel when ``need_grad``), and either
     ``config.use_fused`` forces it or the auto rule (None) finds a TPU.
     Raises ValueError when ``use_fused=True`` demands an infeasible setup.
+
+    The wide kernel variant (``supports_fused_wide``) is forward-only:
+    with ``need_grad`` a wide scene is infeasible here and differentiates
+    through the XLA engine instead (its backward would re-apply the vjp of
+    the per-leaf-unrolled step — exactly the compile-size explosion the
+    wide forward avoids).
     """
     use = config.use_fused
-    feasible = supports_fused(spec) and fused_block_rays(config, itemsize) is not None
-    if feasible and need_grad:
+    narrow = supports_fused(spec)
+    feasible = (
+        narrow or supports_fused_wide(spec)
+    ) and fused_block_rays(config, itemsize, wide=not narrow) is not None
+    if need_grad:
         from pyrayt_tpu.ops.fused_grad import bwd_block_rays
 
-        feasible = bwd_block_rays(config, itemsize) is not None
+        feasible = (
+            feasible and narrow and bwd_block_rays(config, itemsize) is not None
+        )
     if use is True and not feasible:
         raise ValueError(
             "use_fused=True, but the scene has non-packed materials or the "
@@ -146,7 +189,7 @@ def pow2_floor(r: int) -> int:
     return 1 << (int(r).bit_length() - 1)
 
 
-def fused_block_rays(config: TraceConfig, itemsize: int = 4):
+def fused_block_rays(config: TraceConfig, itemsize: int = 4, wide: bool = False):
     """Rays per block — the largest power-of-two (R x 128) tile whose VMEM
     working set fits the budget — or ``None`` when even the minimum tile
     overflows (huge generation_limit): callers must fall back to the XLA
@@ -154,9 +197,9 @@ def fused_block_rays(config: TraceConfig, itemsize: int = 4):
 
     Per-ray bytes: in/out state (2 x 13 rows), records (G x 15), masks (G),
     all double-buffered by the pipeline (x2), plus ~60 rows of loop-carry
-    and temporaries."""
+    and temporaries (the wide kernel's tree-axis fold carries ~40 more)."""
     g = config.generation_limit
-    per_ray = itemsize * (2 * (26 + 16 * g) + 60)
+    per_ray = itemsize * (2 * (26 + 16 * g) + 60 + (40 if wide else 0))
     r = _VMEM_BUDGET_BYTES // (per_ray * LANE)
     r = min(_MAX_R, (r // _SUBLANE) * _SUBLANE)
     if r < _SUBLANE:
@@ -437,9 +480,316 @@ def _make_step(spec: SceneSpec, config: TraceConfig):
     return step
 
 
+# ---------------------------------------------------------------------------
+# the WIDE step: in-VMEM tree-axis loop for lens/microlens arrays
+# ---------------------------------------------------------------------------
+
+
+def _wide_tables(spec: SceneSpec):
+    """Static plan for the wide kernel: ``(order, groups, offsets,
+    slots_flat)`` — the engine's wide plan plus each group's slot matrix
+    flattened row-major into one int32 vector (``offsets[g]`` is group g's
+    start), so the kernel addresses leaf ``j`` of tree ``t`` as
+    ``slots_ref[offsets[g] + t * L + j]``."""
+    import numpy as np
+
+    from pyrayt_tpu.tracer.engine import _wide_plan
+
+    order, groups = _wide_plan(spec)
+    offsets = []
+    flat = []
+    for template, types_pos, slot_matrix in groups:
+        offsets.append(len(flat))
+        for row in slot_matrix:
+            flat.extend(row)
+    slots_flat = np.asarray(flat if flat else [0], np.int32)
+    return order, groups, tuple(offsets), slots_flat
+
+
+def _make_step_wide(spec: SceneSpec, config: TraceConfig):
+    """The generation step for wide scenes (supports_fused_wide): same
+    carry/record contract as :func:`_make_step`, but the nearest-hit search
+    runs per *tree* — ungrouped singles unroll exactly like the narrow
+    step, while each same-shape group (the engine's ``_wide_plan``) loops
+    its tree axis with a ``lax.fori_loop`` whose body reads that tree's
+    transforms/parameters as dynamically-indexed SMEM scalars.  Compile
+    size is O(groups + single leaves), not O(total leaves).
+
+    Because the winning leaf of a grouped tree cannot be re-indexed after
+    the fold (its slot is a traced scalar), the fold carries the winner's
+    *payload* — world normal, material slot, public surface id — computed
+    at candidate time, instead of a leaf index.  Payload values are
+    identical to the narrow step's post-fold recomputation (the normal is
+    evaluated at the same hit parameter that wins the fold).
+
+    Tie-breaking matches the XLA engine's wide path (engine.py wide-scene
+    note): candidates fold in component order / ascending tree index with
+    a strict ``<``, so the first-seen minimum wins.
+
+    Forward-only: ops/fused_grad.py's backward re-applies the vjp of the
+    narrow step and is never paired with this one (pick_fused).
+    """
+    from pyrayt_tpu.tracer.engine import _eval_tree, _tree_slots
+
+    order, groups, offsets, _ = _wide_tables(spec)
+    fast_tree = tuple(tree_supports_intervals(t) for t in spec.trees)
+
+    def _needs_normal(slot):
+        return spec.mat_kinds[spec.leaf_mat_slot[slot]] != matl.KIND_ABSORB
+
+    def step(objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, carry):
+        p3, v3, gen, inten, wav, ridx, rid, alive_f = carry
+        alive = alive_f > 0.5
+        dtype = p3.dtype
+        shape = p3.shape[1:]
+        p_rows = [p3[0], p3[1], p3[2]]
+        v_rows = [v3[0], v3[1], v3[2]]
+        inf = jnp.asarray(jnp.inf, dtype)
+
+        def leaf_local(m_rows, type_code, pr_view, s):
+            """Local rays + sorted (entry, exit) hits for one leaf whose
+            transform rows / param index may be traced scalars."""
+            lo3 = _apply_affine_point(m_rows, p_rows)
+            ld3 = _apply_linear_vec(m_rows, v_rows)
+            local = jnp.stack((jnp.stack(lo3), jnp.stack(ld3)))
+            pair = _leaf_intersect_scalar(type_code, local, pr_view, s)
+            hits = jnp.stack(
+                (jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1]))
+            )
+            return lo3, ld3, hits
+
+        def leaf_payload(m_rows, type_code, lo3, ld3, d_safe, scale, pr_view, s):
+            """World normal of one leaf at hit parameter ``d_safe``."""
+            local_hit = [o + d_safe * d for o, d in zip(lo3, ld3)]
+            ln3 = _leaf_normal_raw3(type_code, local_hit, pr_view, s)
+            wn3 = _apply_linear_transpose(m_rows, ln3)
+            wn = jnp.stack(wn3)
+            sq = _sum_rows(wn * wn)
+            zero = sq == 0
+            wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
+            return wn * scale
+
+        def tree_result(candidates):
+            """Fold a tree's candidate list -> (dist, winning position).
+
+            ``candidates`` is a list of ``(cand, pos)`` where ``pos`` is an
+            int32 array of leaf positions (local or global slots)."""
+            d_t = jnp.full(shape, jnp.inf, dtype)
+            pos_t = jnp.full(shape, -1, jnp.int32)
+            for cand, pos in candidates:
+                cand = jnp.where(cand > 0, cand, inf)
+                new_min = cand < d_t
+                d_t = jnp.where(new_min, cand, d_t)
+                pos_t = jnp.where(new_min, pos, pos_t)
+            return d_t, pos_t
+
+        # global fold: distance + winner payload (normal, mat slot, pub id)
+        best_d = jnp.full(shape, jnp.inf, dtype)
+        best_n = jnp.zeros((3,) + shape, dtype)
+        best_mat = jnp.zeros(shape, dtype)
+        best_pub = jnp.zeros(shape, dtype)
+
+        def fold_global(d_t, n3_t, mat_t, pub_t):
+            nonlocal best_d, best_n, best_mat, best_pub
+            better = d_t < best_d
+            best_d = jnp.where(better, d_t, best_d)
+            best_n = jnp.where(better[None], n3_t, best_n)
+            best_mat = jnp.where(better, mat_t, best_mat)
+            best_pub = jnp.where(better, pub_t, best_pub)
+
+        def payload_from_positions(d_t, pos_t, leaves):
+            """Masked-select the winner's payload over a small static leaf
+            list ``leaves = [(pos, (pr_view, s), m_rows, type, lo3, ld3,
+            mat_slot, pub_id, scale, needs)]``."""
+            d_safe = jnp.where(jnp.isinf(d_t), 0.0, d_t)
+            n3_t = jnp.zeros((3,) + shape, dtype)
+            mat_t = jnp.zeros(shape, dtype)
+            pub_t = jnp.zeros(shape, dtype)
+            for pos, pr_s, m_rows, tcode, lo3, ld3, mslot, pub, scale, needs in leaves:
+                sel = pos_t == pos
+                if needs:
+                    wn = leaf_payload(
+                        m_rows, tcode, lo3, ld3, d_safe, scale, pr_s[0], pr_s[1]
+                    )
+                    n3_t = jnp.where(sel[None], wn, n3_t)
+                mat_t = jnp.where(sel, jnp.asarray(mslot, dtype), mat_t)
+                pub_t = jnp.where(sel, pub, pub_t)
+            return n3_t, mat_t, pub_t
+
+        for kind, idx in order:
+            if kind == "single":
+                tree = spec.trees[idx]
+                slots = _tree_slots(tree)
+                info = {}
+                for s in slots:
+                    m_rows = _mat_rows(objtx_ref, s)
+                    lo3, ld3, hits = leaf_local(
+                        m_rows, spec.leaf_types[s], prim_ref, s
+                    )
+                    info[s] = (m_rows, lo3, ld3, hits)
+                cands = []
+                if fast_tree[idx]:
+                    intervals = {
+                        s: (
+                            info[s][3][0],
+                            info[s][3][1],
+                            jnp.full(shape, s, jnp.int32),
+                            jnp.full(shape, s, jnp.int32),
+                        )
+                        for s in slots
+                    }
+                    for lo, hi, lo_id, hi_id in _eval_tree_intervals(tree, intervals):
+                        cands.append((lo, lo_id))
+                        cands.append((hi, hi_id))
+                else:
+                    shape_hits, shape_ids = _eval_tree(
+                        tree, {s: info[s][3] for s in slots}
+                    )
+                    for row in range(shape_hits.shape[0]):
+                        cands.append((shape_hits[row], shape_ids[row]))
+                d_t, pos_t = tree_result(cands)
+                leaves = [
+                    (
+                        s,
+                        (prim_ref, s),
+                        info[s][0],
+                        spec.leaf_types[s],
+                        info[s][1],
+                        info[s][2],
+                        spec.leaf_mat_slot[s],
+                        jnp.asarray(spec.leaf_ids[s], dtype),
+                        spec.leaf_normal_scale[s],
+                        _needs_normal(s),
+                    )
+                    for s in slots
+                ]
+                fold_global(d_t, *payload_from_positions(d_t, pos_t, leaves))
+                continue
+
+            template, types_pos, slot_matrix = groups[idx]
+            T = len(slot_matrix)
+            L = len(types_pos)
+            off = offsets[idx]
+            slots0 = slot_matrix[0]
+            mat_pos = [spec.leaf_mat_slot[s] for s in slots0]
+            scale_pos = [spec.leaf_normal_scale[s] for s in slots0]
+            needs_pos = [_needs_normal(s) for s in slots0]
+
+            def tree_body(t, gcarry, off=off, L=L, types_pos=types_pos,
+                          template=template, mat_pos=mat_pos,
+                          scale_pos=scale_pos, needs_pos=needs_pos):
+                d_g, n3_g, mat_g, pub_g = gcarry
+                leaves = []
+                intervals = []
+                for j in range(L):
+                    slot = slots_ref[off + t * L + j]
+                    m_rows = _mat_rows(objtx_ref, slot)
+                    lo3, ld3, hits = leaf_local(m_rows, types_pos[j], prim_ref, slot)
+                    pos_id = jnp.full(shape, j, jnp.int32)
+                    intervals.append((hits[0], hits[1], pos_id, pos_id))
+                    leaves.append(
+                        (
+                            j,
+                            (prim_ref, slot),
+                            m_rows,
+                            types_pos[j],
+                            lo3,
+                            ld3,
+                            mat_pos[j],
+                            ids_ref[slot],
+                            scale_pos[j],
+                            needs_pos[j],
+                        )
+                    )
+                cands = []
+                for lo, hi, lo_id, hi_id in _eval_tree_intervals(template, intervals):
+                    cands.append((lo, lo_id))
+                    cands.append((hi, hi_id))
+                d_t, pos_t = tree_result(cands)
+                n3_t, mat_t, pub_t = payload_from_positions(d_t, pos_t, leaves)
+                # ascending-t strict-< fold: lowest tree index wins ties,
+                # matching engine._reduce_tree_axis's argmin
+                better = d_t < d_g
+                return (
+                    jnp.where(better, d_t, d_g),
+                    jnp.where(better[None], n3_t, n3_g),
+                    jnp.where(better, mat_t, mat_g),
+                    jnp.where(better, pub_t, pub_g),
+                )
+
+            d_g, n3_g, mat_g, pub_g = lax.fori_loop(
+                0,
+                T,
+                tree_body,
+                (
+                    jnp.full(shape, jnp.inf, dtype),
+                    jnp.zeros((3,) + shape, dtype),
+                    jnp.zeros(shape, dtype),
+                    jnp.zeros(shape, dtype),
+                ),
+            )
+            fold_global(d_g, n3_g, mat_g, pub_g)
+
+        no_hit = jnp.isinf(best_d)
+        t_safe = jnp.where(no_hit, 0.0, best_d)
+        p_hit = p3 + t_safe * v3
+        normals = best_n
+
+        # INTERACT (parity: _make_step — dispatch on the folded material
+        # slot instead of a leaf index)
+        new_dir = jnp.where(no_hit, 0.0, v3)
+        new_index = ridx
+        new_inten = inten
+        for slot, kind in enumerate(spec.mat_kinds):
+            mask = (best_mat == slot) & ~no_hit
+            if kind == matl.KIND_ABSORB:
+                d2, i2, t2 = jnp.zeros_like(v3), ridx, inten
+            elif kind == matl.KIND_MIRROR:
+                d2, i2, t2 = reflect(v3, normals), ridx, inten
+            else:  # KIND_GLASS
+                n2 = _index_from_scalars(glass_ref, slot, wav)
+                d2, i2 = refract(v3, normals, ridx, n2, n_global=config.world_index)
+                t2 = inten
+            new_dir = jnp.where(mask, d2, new_dir)
+            new_index = jnp.where(mask, i2, new_index)
+            new_inten = jnp.where(mask, t2, new_inten)
+
+        # death rules + record + carry update: verbatim the narrow step's
+        # tail (kept inline — _make_step is the gradient-critical original
+        # and stays untouched)
+        absorbed = jnp.isclose(_norm_rows(v3), 0)
+        dead = absorbed | no_hit
+        if config.apply_intensity_threshold:
+            dead = dead | (inten < config.intensity_threshold)
+        living = alive & ~dead
+
+        public_id = best_pub  # folded payload; 0 where no hit
+        tilt = safe_normalize(v3, axis=0)
+        record = jnp.concatenate(
+            (
+                gen[None], inten[None], wav[None], ridx[None], rid[None],
+                public_id[None],
+                p3, p_hit, tilt,
+            )
+        )
+
+        new_p = jnp.where(living, p_hit + config.ray_offset * new_dir, p_hit)
+        new_gen = jnp.where(living, gen + 1, gen)
+        will_die = _sum_rows(new_dir * new_dir) == 0
+        living_f = (living & ~will_die).astype(dtype)
+        mask_f = living.astype(dtype)
+        return (
+            (new_p, new_dir, new_gen, new_inten, wav, new_index, rid, living_f),
+            record,
+            mask_f,
+        )
+
+    return step
+
+
 def _make_kernel(
     spec: SceneSpec, config: TraceConfig, generations: int,
-    static_loop=False,
+    static_loop=False, wide: bool = False,
 ):
     """``static_loop`` selects the generation-loop driver:
 
@@ -451,7 +801,32 @@ def _make_kernel(
       measured scf.while carry/branch overhead (~0.58 ms/generation on the
       v5e condenser) for one branch per generation.  Experimental (round-4
       item #8); measured in docs/design_notes.md.
+
+    ``wide`` swaps in the tree-axis-looping step (_make_step_wide): the
+    kernel takes two extra SMEM refs (flattened group slot matrices +
+    per-slot public ids) threaded through to the step; only the production
+    while_loop driver is supported.
     """
+    if wide:
+        assert static_loop is False, "wide kernel: while_loop driver only"
+        wide_step = _make_step_wide(spec, config)
+
+        # the production while-loop driver (below) reads scene data only
+        # through ``step(objtx_ref, prim_ref, glass_ref, carry)``; the wide
+        # kernel closes the two extra SMEM refs into that signature
+        def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
+                   slots_ref, ids_ref, rec_ref, mask_ref, fstate_ref):
+            def step(o_ref, p_ref, g_ref, carry):
+                return wide_step(o_ref, p_ref, g_ref, slots_ref, ids_ref, carry)
+
+            _run_while_kernel(
+                step, generations,
+                state_ref, objtx_ref, prim_ref, glass_ref,
+                rec_ref, mask_ref, fstate_ref,
+            )
+
+        return kernel
+
     step = _make_step(spec, config)
 
     if static_loop == "predicated":
@@ -503,9 +878,19 @@ def _make_kernel(
         return kernel
 
     def kernel(state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref):
+        if not static_loop:
+            _run_while_kernel(
+                step, generations,
+                state_ref, objtx_ref, prim_ref, glass_ref,
+                rec_ref, mask_ref, fstate_ref,
+            )
+            return
+        # experimental variant (bench tuning): every generation runs
+        # unconditionally with static record stores — trades the
+        # early-exit saving for static addressing / better scheduling.
+        # Nothing to zero-fill: every generation's outputs are written.
         state = state_ref[:]
-        dtype = state.dtype
-        carry0 = (
+        carry = (
             state[0:3],   # positions xyz (w == 1 dropped)
             state[4:7],   # directions xyz (w == 0 dropped)
             state[8],     # generation
@@ -515,55 +900,11 @@ def _make_kernel(
             state[12],    # id
             jnp.ones_like(state[8]),  # alive (float mask; see step docstring)
         )
-        # outputs must be defined even for generations the early exit skips.
-        # Mask zeroing is load-bearing for the forward contract; record
-        # zeroing is ALSO load-bearing since round 3 — the backward kernel
-        # (ops/fused_grad.py) reconstructs per-generation input states from
-        # these rows and relies on never-ran generations being zeros (its
-        # build asserts _ZERO_RECORDS).  The static-loop variant writes
-        # every generation, so nothing to fill.
-        if not static_loop:
-            if _ZERO_RECORDS:
-                rec_ref[:] = jnp.zeros_like(rec_ref)
-            mask_ref[:] = jnp.zeros_like(mask_ref)
-
-        if static_loop:
-            # experimental variant (bench tuning): every generation runs
-            # unconditionally with static record stores — trades the
-            # early-exit saving for static addressing / better scheduling
-            carry = carry0
-            for g in range(generations):
-                carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, carry)
-                rec_ref[g] = record
-                mask_ref[g] = mask_f
-            final = (None,) + carry
-        else:
-            # the loop body steps UNROLL generations per iteration: the
-            # scf.while carry/branch overhead is ~2x a generation's compute
-            # (measured — see design notes), so amortizing it wins even
-            # though early exit coarsens to UNROLL granularity
-            unroll = _LOOP_UNROLL
-            while generations % unroll:
-                unroll -= 1
-
-            def cond(loop_carry):
-                g = loop_carry[0]
-                alive_f = loop_carry[-1]
-                return (g < generations) & (jnp.max(alive_f) > 0.5)
-
-            def body(loop_carry):
-                g = loop_carry[0]
-                carry = loop_carry[1:]
-                for k in range(unroll):
-                    carry, record, mask_f = step(
-                        objtx_ref, prim_ref, glass_ref, carry
-                    )
-                    rec_ref[pl.ds(g + k, 1)] = record[None]
-                    mask_ref[pl.ds(g + k, 1)] = mask_f[None]
-                return (g + unroll,) + carry
-
-            final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
-        _, p3, v3, gen, inten, wav, ridx, rid, _ = final
+        for g in range(generations):
+            carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, carry)
+            rec_ref[g] = record
+            mask_ref[g] = mask_f
+        p3, v3, gen, inten, wav, ridx, rid, _ = carry
         ones = jnp.ones_like(gen)
         zeros = jnp.zeros_like(gen)
         fstate_ref[:] = jnp.concatenate(
@@ -575,6 +916,69 @@ def _make_kernel(
         )
 
     return kernel
+
+
+def _run_while_kernel(
+    step, generations,
+    state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref,
+):
+    """The production generation-loop driver (early-exit while_loop),
+    shared verbatim by the narrow and wide kernels — only ``step``
+    differs."""
+    state = state_ref[:]
+    carry0 = (
+        state[0:3],   # positions xyz (w == 1 dropped)
+        state[4:7],   # directions xyz (w == 0 dropped)
+        state[8],     # generation
+        state[9],     # intensity
+        state[10],    # wavelength
+        state[11],    # index
+        state[12],    # id
+        jnp.ones_like(state[8]),  # alive (float mask; see step docstring)
+    )
+    # outputs must be defined even for generations the early exit skips.
+    # Mask zeroing is load-bearing for the forward contract; record
+    # zeroing is ALSO load-bearing since round 3 — the backward kernel
+    # (ops/fused_grad.py) reconstructs per-generation input states from
+    # these rows and relies on never-ran generations being zeros (its
+    # build asserts _ZERO_RECORDS).
+    if _ZERO_RECORDS:
+        rec_ref[:] = jnp.zeros_like(rec_ref)
+    mask_ref[:] = jnp.zeros_like(mask_ref)
+
+    # the loop body steps UNROLL generations per iteration: the
+    # scf.while carry/branch overhead is ~2x a generation's compute
+    # (measured — see design notes), so amortizing it wins even
+    # though early exit coarsens to UNROLL granularity
+    unroll = _LOOP_UNROLL
+    while generations % unroll:
+        unroll -= 1
+
+    def cond(loop_carry):
+        g = loop_carry[0]
+        alive_f = loop_carry[-1]
+        return (g < generations) & (jnp.max(alive_f) > 0.5)
+
+    def body(loop_carry):
+        g = loop_carry[0]
+        carry = loop_carry[1:]
+        for k in range(unroll):
+            carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, carry)
+            rec_ref[pl.ds(g + k, 1)] = record[None]
+            mask_ref[pl.ds(g + k, 1)] = mask_f[None]
+        return (g + unroll,) + carry
+
+    final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
+    _, p3, v3, gen, inten, wav, ridx, rid, _ = final
+    ones = jnp.ones_like(gen)
+    zeros = jnp.zeros_like(gen)
+    fstate_ref[:] = jnp.concatenate(
+        (
+            p3, ones[None],       # homogeneous w restored
+            v3, zeros[None],
+            gen[None], inten[None], wav[None], ridx[None], rid[None],
+        )
+    )
 
 
 @lru_cache(maxsize=64)
@@ -590,21 +994,35 @@ def build_fused_trace_fn(
     table.  ``interpret=True`` runs the Pallas interpreter (test-only, for
     bit-exact CPU parity checks); production dispatch happens in
     engine.trace_rays, which routes non-TPU traces to the XLA engine.
+
+    Scenes past the unrolled kernel's leaf cap compile the WIDE variant
+    (supports_fused_wide): the same driver around the tree-axis-looping
+    step, with two extra SMEM scene tables.
     """
     from pyrayt_tpu.tracer.engine import N_RECORD_COLS, TraceResult
     from pyrayt_tpu.tracer.rayset import RaySet
 
-    if not supports_fused(spec):
-        raise ValueError("scene has non-packed materials; use the XLA engine")
+    wide = not supports_fused(spec)
+    if wide and not supports_fused_wide(spec):
+        raise ValueError(
+            "scene has non-packed materials or no batchable tree groups; "
+            "use the XLA engine"
+        )
+    if wide:
+        import numpy as _np
+
+        _, _, _, slots_flat = _wide_tables(spec)
+        slots_const = _np.asarray(slots_flat, _np.int32)
+        ids_const = _np.asarray(spec.leaf_ids, _np.float64)
 
     generations = config.generation_limit
-    kernel = _make_kernel(spec, config, generations, static_loop=static_loop)
+    kernel = _make_kernel(spec, config, generations, static_loop=static_loop, wide=wide)
 
     @jax.jit
     def trace(params, initial_rays: RaySet) -> TraceResult:
         n = initial_rays.n_rays
         dtype = initial_rays.positions.dtype
-        r_rows = fused_block_rays(config, jnp.dtype(dtype).itemsize)
+        r_rows = fused_block_rays(config, jnp.dtype(dtype).itemsize, wide=wide)
         if r_rows is None:
             raise ValueError(
                 "generation_limit too large for the fused kernel's VMEM "
@@ -637,18 +1055,31 @@ def build_fused_trace_fn(
             if static_loop == "predicated"
             else []
         )
+        inputs = [
+            state,
+            obj_tx.astype(dtype),
+            prim_p.astype(dtype),
+            glass.astype(dtype),
+        ]
+        in_specs = [
+            pl.BlockSpec(
+                (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        if wide:
+            inputs += [jnp.asarray(slots_const), jnp.asarray(ids_const, dtype)]
+            in_specs += [
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ]
         records, masks, fstate = pl.pallas_call(
             kernel,
             grid=(n_pad // block,),
             scratch_shapes=scratch_shapes,
-            in_specs=[
-                pl.BlockSpec(
-                    (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec(
                     (generations, N_RECORD_COLS, r_rows, LANE),
@@ -672,12 +1103,7 @@ def build_fused_trace_fn(
                 jax.ShapeDtypeStruct((13, n_pad // LANE, LANE), dtype),
             ),
             interpret=interpret,
-        )(
-            state,
-            obj_tx.astype(dtype),
-            prim_p.astype(dtype),
-            glass.astype(dtype),
-        )
+        )(*inputs)
 
         records = records.reshape(generations, N_RECORD_COLS, n_pad)[:, :, :n]
         masks = masks.reshape(generations, n_pad)[:, :n] > 0.5

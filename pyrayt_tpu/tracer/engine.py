@@ -787,9 +787,11 @@ def trace_rays(
 
     Forward-only dispatch: on TPU, scenes whose materials are all packed
     (absorber/mirror/glass) run the fused Pallas kernel
-    (pyrayt_tpu/ops/fused_trace.py); everything else — CPU/GPU backends,
-    custom Python materials, VMEM-infeasible generation limits, or
-    ``config.use_fused=False`` — runs the XLA engine.  The backend check
+    (pyrayt_tpu/ops/fused_trace.py) — past 32 leaves, its WIDE variant
+    (in-VMEM tree-axis loop over the same batched groups _wide_plan
+    finds); everything else — CPU/GPU backends, custom Python materials,
+    wide scenes with no batchable groups, VMEM-infeasible generation
+    limits, or ``config.use_fused=False`` — runs the XLA engine.  The backend check
     happens here at call time, never baked into a cache.  Gradient users
     compose with :func:`build_trace_fn` (always differentiable) or
     :func:`pyrayt_tpu.ops.fused_grad.build_fused_vjp_trace_fn` (the fused

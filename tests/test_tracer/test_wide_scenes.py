@@ -125,12 +125,18 @@ def test_wide_gradient_matches_finite_differences():
     assert abs(float(grad) - fd) < 1e-4 * max(1.0, abs(fd))
 
 
-def test_fused_kernel_declines_wide_scenes():
+def test_wide_scenes_dispatch_to_the_wide_fused_kernel():
     from pyrayt_tpu.ops import fused_trace as ft
 
     comps, _ = _mla_scene(5)  # 25 lenslets x 2 leaves + detector = 51 leaves
     scene = compile_scene(comps)
     assert scene.spec.n_leaves > ft._FUSED_MAX_LEAVES
+    # past the unrolled cap the narrow kernel declines, the WIDE variant
+    # takes over (round-4 addition; parity in tests/test_ops/test_fused_wide.py)
     assert not ft.supports_fused(scene.spec)
+    assert ft.supports_fused_wide(scene.spec)
+    assert ft.pick_fused(scene.spec, TraceConfig(use_fused=True))
+    # ...forward-only: the gradient path still differentiates the XLA engine
     with pytest.raises(ValueError):
-        ft.pick_fused(scene.spec, TraceConfig(use_fused=True))
+        ft.pick_fused(scene.spec, TraceConfig(use_fused=True), need_grad=True)
+    assert not ft.pick_fused(scene.spec, TraceConfig(), need_grad=True)
