@@ -18,6 +18,14 @@ module closes that gap with a ``jax.custom_vjp`` whose
   grid steps (the TPU grid is sequential, so cross-block accumulation into
   one SMEM output is race-free).
 
+WIDE scenes (lens/microlens arrays past the unrolled kernel's leaf cap)
+get their own backward (:func:`_make_bwd_kernel_wide`): vjp through the
+wide step's in-kernel tree loop is impossible (stacked residuals), so the
+sweep differentiates the step's two pure pieces by hand — jax.vjp of the
+tail, then a winner-masked per-tree vjp of the eval, accumulating
+transform/parameter cotangents into SMEM at traced slot indices.  Parity
+pinned in tests/test_ops/test_fused_wide_grad.py.
+
 Gradient contract (matches jax.grad of the XLA engine, asserted in
 tests/test_ops/test_fused_grad.py):
 
@@ -78,20 +86,22 @@ class _Rows:
 _VMEM_BUDGET_BYTES_LOSS = 15 * 1024 * 1024
 
 
-def bwd_block_rays(config: TraceConfig, itemsize: int = 4, loss_mode: bool = False):
+def bwd_block_rays(config: TraceConfig, itemsize: int = 4, loss_mode: bool = False,
+                   wide: bool = False):
     """Rays per backward block, or None when VMEM cannot fit one.
 
     Per-ray rows resident: records (15G) [+ record cotangents (15G) and a
     final-state cotangent (13) in the generic mode], masks (G), initial
     state (13) and state-cotangent output (13), all double-buffered (x2),
-    plus ~140 rows of VJP loop working set.  ``loss_mode`` (the fused-loss
-    path) drops the cotangent buffers — the kernel synthesizes them from
-    SMEM scalars — roughly halving the working set and nearly doubling the
-    block."""
+    plus ~140 rows of VJP loop working set (~80 more for the wide
+    kernel's fold recompute + per-tree vjp temporaries).  ``loss_mode``
+    (the fused-loss path) drops the cotangent buffers — the kernel
+    synthesizes them from SMEM scalars — roughly halving the working set
+    and nearly doubling the block."""
     g = config.generation_limit
     rows = (16 * g + 26) if loss_mode else (31 * g + 39)
     budget = _VMEM_BUDGET_BYTES_LOSS if loss_mode else ft._VMEM_BUDGET_BYTES
-    per_ray = itemsize * (2 * rows + 140)
+    per_ray = itemsize * (2 * rows + 140 + (80 if wide else 0))
     r = budget // (per_ray * ft.LANE)
     r = min(ft._MAX_R, (r // ft._SUBLANE) * ft._SUBLANE)
     if r < ft._SUBLANE:
@@ -275,6 +285,261 @@ def _make_bwd_kernel(spec: SceneSpec, config: TraceConfig, generations: int,
     return kernel
 
 
+def _make_bwd_kernel_wide(spec: SceneSpec, config: TraceConfig, generations: int,
+                          n_prim_cols: int, n_glass_rows: int, loss_drec=None):
+    """The reverse sweep for WIDE scenes (ft.supports_fused_wide).
+
+    The narrow kernel re-applies ``jax.vjp`` of the whole unrolled step;
+    through the wide step that is impossible (vjp of the in-kernel
+    ``fori_loop`` would stack per-tree residuals in VMEM).  Instead the
+    sweep differentiates the step's two pieces by hand:
+
+    * **tail**: ``jax.vjp`` of the pure ``ft._wide_tail`` (INTERACT +
+      record + carry update) w.r.t. (best_d, best_n, glass, carry) —
+      yields the fold-output cotangents and the glass/ray-state chains;
+    * **fold**: the forward fold is recomputed with winner tracking
+      (``want_win=True``); then each tree's contribution is the
+      winner-masked vjp of the pure per-tree eval ``ft._wide_tree_eval``
+      — mathematically, ``best = select(win==t, eval_t, ...)`` so
+      ``d eval_t = mask_t * d best``.  Grouped trees run this inside a
+      ``fori_loop`` whose body accumulates transform/parameter cotangents
+      directly into the SMEM output refs at traced slot indices (the TPU
+      grid is sequential, so cross-block accumulation is race-free);
+      chunks with no winning ray skip under ``lax.cond``.
+
+    Tie-break caveat: at an exact cross-tree distance tie (measure zero)
+    the winner mask routes the full cotangent to the first-seen tree,
+    where jax.grad of the XLA engine splits subgradients by its own
+    selection order — same class of deviation as min/max subgradients.
+    """
+    S = spec.n_leaves
+    plan = ft._wide_fold_plan(spec)
+    fold_win = ft._make_wide_fold(
+        spec, config, want_win=True, dynamic_chunks=True
+    )
+
+    def kernel(*refs):
+        if loss_drec is None:
+            (objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref,
+             state0_ref, rec_ref, mask_ref,
+             drec_ref, dfstate_ref,
+             dobjtx_ref, dprim_ref, dglass_ref, dstate0_ref,
+             ) = refs
+            scal_ref = None
+        else:
+            (objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref,
+             state0_ref, rec_ref, mask_ref,
+             scal_ref,
+             dobjtx_ref, dprim_ref, dglass_ref, dstate0_ref,
+             ) = refs
+            drec_ref = dfstate_ref = None
+        dtype = rec_ref.dtype
+        glass_vals = _scalar_tables(glass_ref, n_glass_rows, matl.N_GLASS_COEFFS)
+
+        # zero the SMEM accumulators once (sequential grid; every later
+        # read-modify-write below accumulates into them).  The zeroing
+        # runs as a fori_loop of dynamic stores, NOT an unrolled python
+        # loop: at 513 leaves the unrolled form cost ~1 MB of scoped SMEM
+        # (v5e capacity is 1.0 MB) in straight-line store bookkeeping.
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _init():
+            def zero_row(s, c):
+                for i in range(16):
+                    dobjtx_ref[s, i] = jnp.zeros((), dtype)
+                for i in range(n_prim_cols):
+                    dprim_ref[s, i] = jnp.zeros((), dtype)
+                return c
+
+            lax.fori_loop(0, S, zero_row, 0)
+            for m in range(n_glass_rows):
+                for i in range(matl.N_GLASS_COEFFS):
+                    dglass_ref[m, i] = jnp.zeros((), dtype)
+
+        if loss_drec is None:
+            df = dfstate_ref[:]
+            carry_bar0 = (
+                df[0:3], df[4:7], df[8], df[9], df[10], df[11], df[12],
+                jnp.zeros_like(df[8]),
+            )
+        else:
+            zero_block = jnp.zeros(rec_ref.shape[2:], dtype)
+            carry_bar0 = (
+                jnp.zeros((3,) + rec_ref.shape[2:], dtype),
+                jnp.zeros((3,) + rec_ref.shape[2:], dtype),
+            ) + (zero_block,) * 6
+
+        s0 = state0_ref[:]
+
+        def _acc_tree_cotangents(info, mats_j, prim_rows_j, tree_slots,
+                                 p_rows, v_rows, gd, gn):
+            """vjp of one tree's pure eval; accumulate into SMEM + return
+            the ray-state cotangent contribution (d_p3, d_v3)."""
+
+            def evalf(mj, pj, pr, vr):
+                return ft._wide_tree_eval(
+                    info["template"], info["fast"] if "fast" in info else True,
+                    info["types_pos"], info["scale_pos"], info["needs_pos"],
+                    mj, pj, pr, vr,
+                )
+
+            _, vjp_fn = jax.vjp(
+                lambda mj, pj, pr, vr: evalf(mj, pj, pr, vr)[0],
+                mats_j, prim_rows_j, p_rows, v_rows,
+            )
+            g_mats, g_prims, g_p, g_v = vjp_fn((gd, gn))
+            for j, slot in enumerate(tree_slots):
+                for i in range(4):
+                    for k in range(4):
+                        dobjtx_ref[slot, 4 * i + k] = (
+                            dobjtx_ref[slot, 4 * i + k] + g_mats[j][i][k]
+                        )
+                for i in range(n_prim_cols):
+                    dprim_ref[slot, i] = dprim_ref[slot, i] + g_prims[j][i]
+            return jnp.stack(g_p), jnp.stack(g_v)
+
+        def body(i, loop_carry):
+            carry_bar, d_gv = loop_carry
+            g = generations - 1 - i
+            rec = rec_ref[pl.ds(g, 1)][0]
+            mask_g = mask_ref[pl.ds(g, 1)][0]
+            if loss_drec is None:
+                drec = drec_ref[pl.ds(g, 1)][0]
+            else:
+                drec = loss_drec(rec, mask_g, scal_ref)
+            prev_g = jnp.maximum(g - 1, 0)
+            prev_mask = mask_ref[pl.ds(prev_g, 1)][0]
+            is0 = g == 0
+            alive_f = jnp.where(is0, jnp.ones_like(prev_mask), prev_mask)
+            carry_g = (
+                jnp.where(is0, s0[0:3], rec[6:9]),
+                jnp.where(is0, s0[4:7], rec[12:15]),
+                jnp.where(is0, s0[8], rec[0]),
+                jnp.where(is0, s0[9], rec[1]),
+                jnp.where(is0, s0[10], rec[2]),
+                jnp.where(is0, s0[11], rec[3]),
+                jnp.where(is0, s0[12], rec[4]),
+                alive_f,
+            )
+            p3_in, v3_in = carry_g[0], carry_g[1]
+            p_rows = [p3_in[0], p3_in[1], p3_in[2]]
+            v_rows = [v3_in[0], v3_in[1], v3_in[2]]
+
+            # forward fold recompute, with the winning tree's fold code
+            best_d, best_n, best_mat, best_pub, win = fold_win(
+                objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref,
+                p_rows, v_rows,
+            )
+
+            # tail vjp: fold-output cotangents + glass + ray-state chain
+            def tailf(bd, bn, gv, cr):
+                return ft._wide_tail(
+                    spec, config, _Rows(gv), bd, bn, best_mat, best_pub, cr
+                )
+
+            _, tail_vjp = jax.vjp(tailf, best_d, best_n, glass_vals, carry_g)
+            d_bd, d_bn, g_gv, d_carry = tail_vjp(
+                (carry_bar, drec, jnp.zeros_like(mask_g))
+            )
+            d_gv = jax.tree_util.tree_map(jnp.add, d_gv, g_gv)
+
+            d_p3 = d_carry[0]
+            d_v3 = d_carry[1]
+
+            # fold backward: winner-masked per-tree vjp
+            for kind, idx, info in plan:
+                if kind == "single":
+                    sel = (win == info["code"]).astype(dtype)
+                    gd = d_bd * sel
+                    gn = d_bn * sel[None]
+                    mats_j, prim_rows_j = ft._read_single_tables(
+                        objtx_ref, prim_ref, info
+                    )
+                    g_p, g_v = _acc_tree_cotangents(
+                        info, mats_j, prim_rows_j, info["slots"],
+                        p_rows, v_rows, gd, gn,
+                    )
+                    d_p3 = d_p3 + g_p
+                    d_v3 = d_v3 + g_v
+                    continue
+
+                T = info["T"]
+                base = info["code_base"]
+
+                def tree_bwd(t, acc, info=info, base=base):
+                    ap, av = acc
+                    sel = (win == base + t).astype(dtype)
+                    gd = d_bd * sel
+                    gn = d_bn * sel[None]
+                    mats_j, prim_rows_j, tree_slots = ft._read_group_tables(
+                        objtx_ref, prim_ref, slots_ref, info, t
+                    )
+                    g_p, g_v = _acc_tree_cotangents(
+                        info, mats_j, prim_rows_j, tree_slots,
+                        p_rows, v_rows, gd, gn,
+                    )
+                    return (ap + g_p, av + g_v)
+
+                acc = (jnp.zeros_like(d_p3), jnp.zeros_like(d_v3))
+                if info["n_chunks"] == 0:
+                    acc = lax.fori_loop(0, T, tree_bwd, acc)
+                else:
+                    # the chunk sweep is itself a fori_loop (traced inner
+                    # bounds) so the program holds ONE copy of the vjp
+                    # body — a python chunk loop instantiates it per chunk
+                    # and crashed the Mosaic compiler past ~300 leaves
+                    C = ft._WIDE_CHUNK_TREES
+
+                    def chunk_bwd(c, a, T=T, base=base):
+                        start = c * C
+                        stop = jnp.minimum(start + C, T)
+                        won = (win >= base + start) & (win < base + stop)
+                        return lax.cond(
+                            jnp.max(won.astype(dtype)) > 0,
+                            lambda aa: lax.fori_loop(start, stop, tree_bwd, aa),
+                            lambda aa: aa,
+                            a,
+                        )
+
+                    acc = lax.fori_loop(0, info["n_chunks"], chunk_bwd, acc)
+                d_p3 = d_p3 + acc[0]
+                d_v3 = d_v3 + acc[1]
+
+            new_bar = (
+                d_p3, d_v3, d_carry[2], d_carry[3], d_carry[4],
+                d_carry[5], d_carry[6], jnp.zeros_like(d_carry[2]),
+            )
+            return new_bar, d_gv
+
+        u = ft._LOOP_UNROLL
+        while generations % u:
+            u -= 1
+        any_g = jnp.stack([jnp.max(mask_ref[g]) for g in range(generations)])
+        count1 = jnp.sum((any_g > 0.5).astype(jnp.int32)) + 1
+        ran = jnp.minimum(-(-count1 // u) * u, generations)
+        d_gv0 = _zeros_like_tables(glass_vals)
+        carry_bar, d_gv = lax.fori_loop(
+            generations - ran, generations, body, (carry_bar0, d_gv0)
+        )
+
+        p_bar, v_bar, gen_bar, int_bar, wav_bar, idx_bar, id_bar, _ = carry_bar
+        zero = jnp.zeros_like(gen_bar)
+        dstate0_ref[:] = jnp.concatenate(
+            (
+                p_bar, zero[None],
+                v_bar, zero[None],
+                gen_bar[None], int_bar[None], wav_bar[None],
+                idx_bar[None], id_bar[None],
+            )
+        )
+        for m in range(n_glass_rows):
+            for i in range(matl.N_GLASS_COEFFS):
+                dglass_ref[m, i] = dglass_ref[m, i] + d_gv[m][i]
+
+    return kernel
+
+
 def _run_bwd(
     spec: SceneSpec,
     config: TraceConfig,
@@ -298,9 +563,12 @@ def _run_bwd(
 
     generations = config.generation_limit
     loss_mode = loss_drec is not None
+    wide = not ft.supports_fused(spec)
     dtype = records.dtype
     n = records.shape[-1]
-    r_rows = bwd_block_rays(config, jnp.dtype(dtype).itemsize, loss_mode=loss_mode)
+    r_rows = bwd_block_rays(
+        config, jnp.dtype(dtype).itemsize, loss_mode=loss_mode, wide=wide
+    )
     if r_rows is None:
         raise ValueError(
             "generation_limit too large for the backward kernel's VMEM "
@@ -341,11 +609,24 @@ def _run_bwd(
         obj_tx.astype(dtype),
         prim_p.astype(dtype),
         glass.astype(dtype),
+    ]
+    in_specs = [smem, smem, smem]
+    if wide:
+        import numpy as _np
+
+        slots_arr, aabb_arr = ft._wide_runtime_tables(spec, params, dtype)
+        inputs += [
+            lax.stop_gradient(slots_arr),
+            jnp.asarray(_np.asarray(spec.leaf_ids, _np.float64), dtype),
+            lax.stop_gradient(aabb_arr),
+        ]
+        in_specs += [smem, smem, smem]
+    inputs += [
         tile(state0.astype(dtype), pad2),
         tile(records, pad3),
         tile(masks.astype(dtype), pad2),
     ]
-    in_specs = [smem, smem, smem, vmem13, vmem_rec, vmem_mask]
+    in_specs += [vmem13, vmem_rec, vmem_mask]
     if loss_mode:
         inputs.append(scal.astype(dtype))
         in_specs.append(smem)
@@ -353,7 +634,8 @@ def _run_bwd(
         inputs += [tile(d_records, pad3), tile(d_fstate, pad2)]
         in_specs += [vmem_rec, vmem13]
 
-    kernel = _make_bwd_kernel(
+    make = _make_bwd_kernel_wide if wide else _make_bwd_kernel
+    kernel = make(
         spec, config, generations, n_prim_cols, n_glass_rows, loss_drec=loss_drec
     )
     d_objtx, d_prim, d_glass, d_state0 = pl.pallas_call(
@@ -599,8 +881,15 @@ def build_fused_value_and_grad_fn(
     plan = loss_plan(loss)
     if plan is None:
         raise ValueError(f"loss {loss!r} has no fused plan")
-    if not ft.supports_fused(spec):
+    if not (ft.supports_fused(spec) or ft.supports_fused_wide(spec)):
         raise ValueError("scene has non-packed materials; use the XLA engine")
+    if not ft.supports_fused(spec) and (
+        spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
+    ):
+        raise ValueError(
+            "scene exceeds the wide backward kernel's leaf cap "
+            f"({ft._FUSED_WIDE_GRAD_MAX_LEAVES}); differentiate the XLA engine"
+        )
     assert ft._ZERO_RECORDS
 
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
@@ -696,8 +985,15 @@ def build_fused_vjp_trace_fn(
     from pyrayt_tpu.tracer.engine import N_RECORD_COLS, TraceResult
     from pyrayt_tpu.tracer.rayset import RaySet
 
-    if not ft.supports_fused(spec):
+    if not (ft.supports_fused(spec) or ft.supports_fused_wide(spec)):
         raise ValueError("scene has non-packed materials; use the XLA engine")
+    if not ft.supports_fused(spec) and (
+        spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
+    ):
+        raise ValueError(
+            "scene exceeds the wide backward kernel's leaf cap "
+            f"({ft._FUSED_WIDE_GRAD_MAX_LEAVES}); differentiate the XLA engine"
+        )
     # never-ran generations' record rows double as this kernel's "state is
     # zero, step is an identity" sentinel — the forward must zero-fill them
     assert ft._ZERO_RECORDS, "fused backward requires zero-filled records"

@@ -100,6 +100,12 @@ _FUSED_MAX_LEAVES = 32
 # wide-kernel leaf cap: scene tables (transforms 16 + prim params + ids)
 # live in SMEM as scalars; this bounds their footprint (~176 B/leaf)
 _FUSED_WIDE_MAX_LEAVES = 4096
+# the wide BACKWARD kernel's cap: its per-generation vjp program crashes
+# the Mosaic compile helper past ~300 leaves on this toolchain (silent
+# subprocess death, no diagnostic; 12x12 MLA = 289 leaves compiles and
+# runs, 16x16 = 513 does not, even with single-copy dynamic chunk
+# sweeps).  Gradients of wider scenes differentiate the XLA engine.
+_FUSED_WIDE_GRAD_MAX_LEAVES = 300
 
 
 def supports_fused(spec: SceneSpec) -> bool:
@@ -154,12 +160,6 @@ def pick_fused(
     kernel, plus the backward kernel when ``need_grad``), and either
     ``config.use_fused`` forces it or the auto rule (None) finds a TPU.
     Raises ValueError when ``use_fused=True`` demands an infeasible setup.
-
-    The wide kernel variant (``supports_fused_wide``) is forward-only:
-    with ``need_grad`` a wide scene is infeasible here and differentiates
-    through the XLA engine instead (its backward would re-apply the vjp of
-    the per-leaf-unrolled step — exactly the compile-size explosion the
-    wide forward avoids).
     """
     use = config.use_fused
     narrow = supports_fused(spec)
@@ -170,7 +170,9 @@ def pick_fused(
         from pyrayt_tpu.ops.fused_grad import bwd_block_rays
 
         feasible = (
-            feasible and narrow and bwd_block_rays(config, itemsize) is not None
+            feasible
+            and (narrow or spec.n_leaves <= _FUSED_WIDE_GRAD_MAX_LEAVES)
+            and bwd_block_rays(config, itemsize, wide=not narrow) is not None
         )
     if use is True and not feasible:
         raise ValueError(
@@ -650,249 +652,294 @@ def _wide_runtime_tables(spec: SceneSpec, params, dtype):
     return slots_out, aabb_rows
 
 
-def _make_step_wide(spec: SceneSpec, config: TraceConfig):
-    """The generation step for wide scenes (supports_fused_wide): same
-    carry/record contract as :func:`_make_step`, but the nearest-hit search
-    runs per *tree* — ungrouped singles unroll exactly like the narrow
-    step, while each same-shape group (the engine's ``_wide_plan``) loops
-    its tree axis with a ``lax.fori_loop`` whose body reads that tree's
-    transforms/parameters as dynamically-indexed SMEM scalars.  Compile
-    size is O(groups + single leaves), not O(total leaves).
+class _Row1:
+    """``view[_, i] -> i-th scalar`` over one row of traced scalars, so the
+    scalarized primitive helpers read per-tree values the same way they
+    read SMEM refs."""
 
-    Because the winning leaf of a grouped tree cannot be re-indexed after
-    the fold (its slot is a traced scalar), the fold carries the winner's
-    *payload* — world normal, material slot, public surface id — computed
-    at candidate time, instead of a leaf index.  Payload values are
-    identical to the narrow step's post-fold recomputation (the normal is
-    evaluated at the same hit parameter that wins the fold).
+    def __init__(self, vals):
+        self._vals = vals
 
-    Tie-breaking matches the XLA engine's wide path (engine.py wide-scene
-    note): candidates fold in component order / ascending tree index with
-    a strict ``<``, so the first-seen minimum wins.
+    def __getitem__(self, idx):
+        return self._vals[idx[1]]
 
-    Forward-only: ops/fused_grad.py's backward re-applies the vjp of the
-    narrow step and is never paired with this one (pick_fused).
+
+def _wide_needs_normal(spec: SceneSpec, slot: int) -> bool:
+    return spec.mat_kinds[spec.leaf_mat_slot[slot]] != matl.KIND_ABSORB
+
+
+def _wide_tree_eval(
+    template, fast, types_pos, scale_pos, needs_pos,
+    mats_j, prim_rows_j, p_rows, v_rows,
+):
+    """PURE per-tree nearest-hit eval -> ``((d_t, n3_t), pos_t)``.
+
+    ``template`` is the tree with leaves renumbered to positions 0..L-1
+    (engine._tree_template); ``mats_j`` / ``prim_rows_j`` are per-position
+    nested lists of traced scalars (read from SMEM by the caller);
+    ``p_rows`` / ``v_rows`` are 3-lists of ray rows.  No refs are touched
+    here, so the backward kernel can ``jax.vjp`` this function per tree —
+    cotangents route through the candidate fold's where-selections and the
+    winner's normal chain automatically.
+
+    Returns the nearest positive candidate distance, the winner's world
+    normal (payload — computed here because a grouped tree's leaf slot is
+    a traced scalar and cannot be re-indexed after the fold), and the
+    winning leaf position (aux, non-differentiable).
     """
-    from pyrayt_tpu.tracer.engine import _eval_tree, _tree_slots
+    from pyrayt_tpu.tracer.engine import _eval_tree
+
+    L = len(types_pos)
+    shape = p_rows[0].shape
+    dtype = p_rows[0].dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    lo3s, ld3s, hits_list = [], [], []
+    for j in range(L):
+        lo3 = _apply_affine_point(mats_j[j], p_rows)
+        ld3 = _apply_linear_vec(mats_j[j], v_rows)
+        local = jnp.stack((jnp.stack(lo3), jnp.stack(ld3)))
+        pair = _leaf_intersect_scalar(types_pos[j], local, _Row1(prim_rows_j[j]), 0)
+        hits = jnp.stack(
+            (jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1]))
+        )
+        lo3s.append(lo3)
+        ld3s.append(ld3)
+        hits_list.append(hits)
+
+    cands = []
+    if fast:
+        intervals = [
+            (h[0], h[1], jnp.full(shape, j, jnp.int32), jnp.full(shape, j, jnp.int32))
+            for j, h in enumerate(hits_list)
+        ]
+        for lo, hi, lo_id, hi_id in _eval_tree_intervals(template, intervals):
+            cands.append((lo, lo_id))
+            cands.append((hi, hi_id))
+    else:
+        shape_hits, shape_ids = _eval_tree(template, hits_list)
+        for row in range(shape_hits.shape[0]):
+            cands.append((shape_hits[row], shape_ids[row]))
+
+    d_t = jnp.full(shape, jnp.inf, dtype)
+    pos_t = jnp.full(shape, -1, jnp.int32)
+    for cand, pos in cands:
+        cand = jnp.where(cand > 0, cand, inf)
+        new_min = cand < d_t
+        d_t = jnp.where(new_min, cand, d_t)
+        pos_t = jnp.where(new_min, pos, pos_t)
+
+    d_safe = jnp.where(jnp.isinf(d_t), 0.0, d_t)
+    n3_t = jnp.zeros((3,) + shape, dtype)
+    for j in range(L):
+        if not needs_pos[j]:
+            continue
+        local_hit = [o + d_safe * d for o, d in zip(lo3s[j], ld3s[j])]
+        ln3 = _leaf_normal_raw3(types_pos[j], local_hit, _Row1(prim_rows_j[j]), 0)
+        wn3 = _apply_linear_transpose(mats_j[j], ln3)
+        wn = jnp.stack(wn3)
+        sq = _sum_rows(wn * wn)
+        zero = sq == 0
+        wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
+        n3_t = jnp.where((pos_t == j)[None], wn * scale_pos[j], n3_t)
+    return (d_t, n3_t), pos_t
+
+
+def _block_any_hit(lo3, hi3, p_rows, v_rows):
+    """Conservative: does ANY ray of the block intersect the AABB at
+    positive t?  Covers every candidate the full fold could produce: real
+    hits lie inside a leaf's box, and the degenerate (zero-direction)
+    phantom candidates the guarded intersectors can emit only arise with
+    the ray origin inside the primitive volume — which the zero-direction
+    `inside` branch flags."""
+    shape = p_rows[0].shape
+    dtype = p_rows[0].dtype
+    tmin = jnp.full(shape, -jnp.inf, dtype)
+    tmax = jnp.full(shape, jnp.inf, dtype)
+    for a in range(3):
+        o, d = p_rows[a], v_rows[a]
+        zero_d = d == 0
+        dsafe = jnp.where(zero_d, 1.0, d)
+        t0 = (lo3[a] - o) / dsafe
+        t1 = (hi3[a] - o) / dsafe
+        a_lo = jnp.minimum(t0, t1)
+        a_hi = jnp.maximum(t0, t1)
+        ax_in = (o >= lo3[a]) & (o <= hi3[a])
+        a_lo = jnp.where(zero_d, jnp.where(ax_in, -jnp.inf, jnp.inf), a_lo)
+        a_hi = jnp.where(zero_d, jnp.where(ax_in, jnp.inf, -jnp.inf), a_hi)
+        tmin = jnp.maximum(tmin, a_lo)
+        tmax = jnp.minimum(tmax, a_hi)
+    hit = (tmax >= tmin) & (tmax > 0)
+    return jnp.max(hit.astype(dtype)) > 0
+
+
+def _wide_fold_plan(spec: SceneSpec):
+    """Static per-`order`-entry eval info for the wide fold: a list of
+    ``("single", tree_index, info)`` / ``("group", group_index, info)``
+    where ``info`` carries template, per-position types/scales/needs/mat
+    slots, and (singles) static slots / public ids.  Win codes enumerate
+    trees in fold order (singles one code, group trees base..base+T-1)."""
+    from pyrayt_tpu.tracer.engine import _tree_slots, _tree_template
 
     order, groups, offsets, _, chunk_offsets, n_chunks = _wide_tables(spec)
-    fast_tree = tuple(tree_supports_intervals(t) for t in spec.trees)
-
-    def _needs_normal(slot):
-        return spec.mat_kinds[spec.leaf_mat_slot[slot]] != matl.KIND_ABSORB
-
-    def step(objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref, carry):
-        p3, v3, gen, inten, wav, ridx, rid, alive_f = carry
-        alive = alive_f > 0.5
-        dtype = p3.dtype
-        shape = p3.shape[1:]
-        p_rows = [p3[0], p3[1], p3[2]]
-        v_rows = [v3[0], v3[1], v3[2]]
-        inf = jnp.asarray(jnp.inf, dtype)
-
-        def leaf_local(m_rows, type_code, pr_view, s):
-            """Local rays + sorted (entry, exit) hits for one leaf whose
-            transform rows / param index may be traced scalars."""
-            lo3 = _apply_affine_point(m_rows, p_rows)
-            ld3 = _apply_linear_vec(m_rows, v_rows)
-            local = jnp.stack((jnp.stack(lo3), jnp.stack(ld3)))
-            pair = _leaf_intersect_scalar(type_code, local, pr_view, s)
-            hits = jnp.stack(
-                (jnp.minimum(pair[0], pair[1]), jnp.maximum(pair[0], pair[1]))
+    plan = []
+    code = 0
+    for kind, idx in order:
+        if kind == "single":
+            tree = spec.trees[idx]
+            slots = _tree_slots(tree)
+            info = dict(
+                template=_tree_template(tree),
+                fast=tree_supports_intervals(tree),
+                slots=slots,
+                types_pos=tuple(spec.leaf_types[s] for s in slots),
+                scale_pos=tuple(spec.leaf_normal_scale[s] for s in slots),
+                needs_pos=tuple(_wide_needs_normal(spec, s) for s in slots),
+                mat_pos=tuple(spec.leaf_mat_slot[s] for s in slots),
+                pub_pos=tuple(float(spec.leaf_ids[s]) for s in slots),
+                code=code,
             )
-            return lo3, ld3, hits
+            code += 1
+        else:
+            template, types_pos, slot_matrix = groups[idx]
+            slots0 = slot_matrix[0]
+            info = dict(
+                template=template,
+                fast=True,
+                T=len(slot_matrix),
+                L=len(types_pos),
+                off=offsets[idx],
+                types_pos=types_pos,
+                scale_pos=tuple(spec.leaf_normal_scale[s] for s in slots0),
+                needs_pos=tuple(_wide_needs_normal(spec, s) for s in slots0),
+                mat_pos=tuple(spec.leaf_mat_slot[s] for s in slots0),
+                chunk_off=chunk_offsets[idx],
+                n_chunks=n_chunks[idx],
+                code_base=code,
+            )
+            code += len(slot_matrix)
+        plan.append((kind, idx, info))
+    return plan
 
-        def leaf_payload(m_rows, type_code, lo3, ld3, d_safe, scale, pr_view, s):
-            """World normal of one leaf at hit parameter ``d_safe``."""
-            local_hit = [o + d_safe * d for o, d in zip(lo3, ld3)]
-            ln3 = _leaf_normal_raw3(type_code, local_hit, pr_view, s)
-            wn3 = _apply_linear_transpose(m_rows, ln3)
-            wn = jnp.stack(wn3)
-            sq = _sum_rows(wn * wn)
-            zero = sq == 0
-            wn = jnp.where(zero, wn, wn / jnp.sqrt(jnp.where(zero, 1.0, sq)))
-            return wn * scale
 
-        def block_any_hit(lo3, hi3):
-            """Conservative: does ANY ray of the block intersect the AABB
-            at positive t?  Covers every candidate the full fold could
-            produce: real hits lie inside a leaf's box, and the degenerate
-            (zero-direction) phantom candidates the guarded intersectors
-            can emit only arise with the ray origin inside the primitive
-            volume — which the zero-direction `inside` branch flags."""
-            tmin = jnp.full(shape, -jnp.inf, dtype)
-            tmax = jnp.full(shape, jnp.inf, dtype)
-            for a in range(3):
-                o, d = p_rows[a], v_rows[a]
-                zero_d = d == 0
-                dsafe = jnp.where(zero_d, 1.0, d)
-                t0 = (lo3[a] - o) / dsafe
-                t1 = (hi3[a] - o) / dsafe
-                a_lo = jnp.minimum(t0, t1)
-                a_hi = jnp.maximum(t0, t1)
-                ax_in = (o >= lo3[a]) & (o <= hi3[a])
-                a_lo = jnp.where(zero_d, jnp.where(ax_in, -jnp.inf, jnp.inf), a_lo)
-                a_hi = jnp.where(zero_d, jnp.where(ax_in, jnp.inf, -jnp.inf), a_hi)
-                tmin = jnp.maximum(tmin, a_lo)
-                tmax = jnp.minimum(tmax, a_hi)
-            hit = (tmax >= tmin) & (tmax > 0)
-            return jnp.max(hit.astype(dtype)) > 0
+def _read_single_tables(objtx_ref, prim_ref, info):
+    """Per-position scalar tables of a single tree (static slot indices)."""
+    P = prim_ref.shape[1]
+    mats_j = [_mat_rows(objtx_ref, s) for s in info["slots"]]
+    prim_rows_j = [
+        [prim_ref[s, i] for i in range(P)] for s in info["slots"]
+    ]
+    return mats_j, prim_rows_j
 
-        def tree_result(candidates):
-            """Fold a tree's candidate list -> (dist, winning position).
 
-            ``candidates`` is a list of ``(cand, pos)`` where ``pos`` is an
-            int32 array of leaf positions (local or global slots)."""
-            d_t = jnp.full(shape, jnp.inf, dtype)
-            pos_t = jnp.full(shape, -1, jnp.int32)
-            for cand, pos in candidates:
-                cand = jnp.where(cand > 0, cand, inf)
-                new_min = cand < d_t
-                d_t = jnp.where(new_min, cand, d_t)
-                pos_t = jnp.where(new_min, pos, pos_t)
-            return d_t, pos_t
+def _read_group_tables(objtx_ref, prim_ref, slots_ref, info, t):
+    """Per-position scalar tables of grouped tree ``t`` (traced slots)."""
+    P = prim_ref.shape[1]
+    L, off = info["L"], info["off"]
+    tree_slots = [slots_ref[off + t * L + j] for j in range(L)]
+    mats_j = [_mat_rows(objtx_ref, s) for s in tree_slots]
+    prim_rows_j = [[prim_ref[s, i] for i in range(P)] for s in tree_slots]
+    return mats_j, prim_rows_j, tree_slots
 
-        # global fold: distance + winner payload (normal, mat slot, pub id)
-        best_d = jnp.full(shape, jnp.inf, dtype)
-        best_n = jnp.zeros((3,) + shape, dtype)
-        best_mat = jnp.zeros(shape, dtype)
-        best_pub = jnp.zeros(shape, dtype)
 
-        def fold_global(d_t, n3_t, mat_t, pub_t):
-            nonlocal best_d, best_n, best_mat, best_pub
-            better = d_t < best_d
-            best_d = jnp.where(better, d_t, best_d)
-            best_n = jnp.where(better[None], n3_t, best_n)
-            best_mat = jnp.where(better, mat_t, best_mat)
-            best_pub = jnp.where(better, pub_t, best_pub)
+def _make_wide_fold(spec: SceneSpec, config: TraceConfig, want_win: bool = False,
+                    dynamic_chunks: bool = False):
+    """The wide nearest-hit fold: ``fold(objtx_ref, prim_ref, slots_ref,
+    ids_ref, aabb_ref, p_rows, v_rows) -> (best_d, best_n, best_mat,
+    best_pub[, win_code])``.
 
-        def payload_from_positions(d_t, pos_t, leaves):
-            """Masked-select the winner's payload over a small static leaf
-            list ``leaves = [(pos, (pr_view, s), m_rows, type, lo3, ld3,
-            mat_slot, pub_id, scale, needs)]``."""
-            d_safe = jnp.where(jnp.isinf(d_t), 0.0, d_t)
-            n3_t = jnp.zeros((3,) + shape, dtype)
-            mat_t = jnp.zeros(shape, dtype)
-            pub_t = jnp.zeros(shape, dtype)
-            for pos, pr_s, m_rows, tcode, lo3, ld3, mslot, pub, scale, needs in leaves:
-                sel = pos_t == pos
-                if needs:
-                    wn = leaf_payload(
-                        m_rows, tcode, lo3, ld3, d_safe, scale, pr_s[0], pr_s[1]
-                    )
-                    n3_t = jnp.where(sel[None], wn, n3_t)
-                mat_t = jnp.where(sel, jnp.asarray(mslot, dtype), mat_t)
-                pub_t = jnp.where(sel, pub, pub_t)
-            return n3_t, mat_t, pub_t
+    Ungrouped singles unroll; each same-shape group loops its tree axis
+    with a ``lax.fori_loop`` reading that tree's scalars from
+    dynamically-indexed SMEM, under the supercell AABB skip.  Tie-breaking
+    matches the XLA engine's wide path: strict ``<`` in component order /
+    ascending tree index.  ``want_win=True`` additionally tracks the
+    winning tree's fold code (the backward kernel's winner mask).
+    ``dynamic_chunks=True`` runs the chunk sweep as one more fori_loop
+    (traced AABB reads / inner bounds) so the program holds a single copy
+    of the tree body — the backward kernel needs this to stay within the
+    Mosaic compiler's capacity at hundreds of leaves; the forward keeps
+    the unrolled sweep (measured equal speed, simpler addressing).
+    """
+    plan = _wide_fold_plan(spec)
 
-        for kind, idx in order:
+    def fold(objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref, p_rows, v_rows):
+        shape = p_rows[0].shape
+        dtype = p_rows[0].dtype
+
+        best = [
+            jnp.full(shape, jnp.inf, dtype),      # distance
+            jnp.zeros((3,) + shape, dtype),       # world normal
+            jnp.zeros(shape, dtype),              # material slot
+            jnp.zeros(shape, dtype),              # public surface id
+        ]
+        if want_win:
+            best.append(jnp.full(shape, -1, jnp.int32))  # winning tree code
+
+        def folded(entry, d_t, n3_t, mat_t, pub_t, code):
+            d_g = entry[0]
+            better = d_t < d_g
+            out = [
+                jnp.where(better, d_t, d_g),
+                jnp.where(better[None], n3_t, entry[1]),
+                jnp.where(better, mat_t, entry[2]),
+                jnp.where(better, pub_t, entry[3]),
+            ]
+            if want_win:
+                out.append(jnp.where(better, code, entry[4]))
+            return out
+
+        for kind, idx, info in plan:
             if kind == "single":
-                tree = spec.trees[idx]
-                slots = _tree_slots(tree)
-                info = {}
-                for s in slots:
-                    m_rows = _mat_rows(objtx_ref, s)
-                    lo3, ld3, hits = leaf_local(
-                        m_rows, spec.leaf_types[s], prim_ref, s
-                    )
-                    info[s] = (m_rows, lo3, ld3, hits)
-                cands = []
-                if fast_tree[idx]:
-                    intervals = {
-                        s: (
-                            info[s][3][0],
-                            info[s][3][1],
-                            jnp.full(shape, s, jnp.int32),
-                            jnp.full(shape, s, jnp.int32),
-                        )
-                        for s in slots
-                    }
-                    for lo, hi, lo_id, hi_id in _eval_tree_intervals(tree, intervals):
-                        cands.append((lo, lo_id))
-                        cands.append((hi, hi_id))
-                else:
-                    shape_hits, shape_ids = _eval_tree(
-                        tree, {s: info[s][3] for s in slots}
-                    )
-                    for row in range(shape_hits.shape[0]):
-                        cands.append((shape_hits[row], shape_ids[row]))
-                d_t, pos_t = tree_result(cands)
-                leaves = [
-                    (
-                        s,
-                        (prim_ref, s),
-                        info[s][0],
-                        spec.leaf_types[s],
-                        info[s][1],
-                        info[s][2],
-                        spec.leaf_mat_slot[s],
-                        jnp.asarray(spec.leaf_ids[s], dtype),
-                        spec.leaf_normal_scale[s],
-                        _needs_normal(s),
-                    )
-                    for s in slots
-                ]
-                fold_global(d_t, *payload_from_positions(d_t, pos_t, leaves))
+                mats_j, prim_rows_j = _read_single_tables(objtx_ref, prim_ref, info)
+                (d_t, n3_t), pos_t = _wide_tree_eval(
+                    info["template"], info["fast"], info["types_pos"],
+                    info["scale_pos"], info["needs_pos"],
+                    mats_j, prim_rows_j, p_rows, v_rows,
+                )
+                mat_t = jnp.zeros(shape, dtype)
+                pub_t = jnp.zeros(shape, dtype)
+                for j in range(len(info["slots"])):
+                    sel = pos_t == j
+                    mat_t = jnp.where(sel, jnp.asarray(info["mat_pos"][j], dtype), mat_t)
+                    pub_t = jnp.where(sel, jnp.asarray(info["pub_pos"][j], dtype), pub_t)
+                best = folded(best, d_t, n3_t, mat_t, pub_t, info["code"])
                 continue
 
-            template, types_pos, slot_matrix = groups[idx]
-            T = len(slot_matrix)
-            L = len(types_pos)
-            off = offsets[idx]
-            slots0 = slot_matrix[0]
-            mat_pos = [spec.leaf_mat_slot[s] for s in slots0]
-            scale_pos = [spec.leaf_normal_scale[s] for s in slots0]
-            needs_pos = [_needs_normal(s) for s in slots0]
+            T, L = info["T"], info["L"]
 
-            def tree_body(t, gcarry, off=off, L=L, types_pos=types_pos,
-                          template=template, mat_pos=mat_pos,
-                          scale_pos=scale_pos, needs_pos=needs_pos):
-                d_g, n3_g, mat_g, pub_g = gcarry
-                leaves = []
-                intervals = []
-                for j in range(L):
-                    slot = slots_ref[off + t * L + j]
-                    m_rows = _mat_rows(objtx_ref, slot)
-                    lo3, ld3, hits = leaf_local(m_rows, types_pos[j], prim_ref, slot)
-                    pos_id = jnp.full(shape, j, jnp.int32)
-                    intervals.append((hits[0], hits[1], pos_id, pos_id))
-                    leaves.append(
-                        (
-                            j,
-                            (prim_ref, slot),
-                            m_rows,
-                            types_pos[j],
-                            lo3,
-                            ld3,
-                            mat_pos[j],
-                            ids_ref[slot],
-                            scale_pos[j],
-                            needs_pos[j],
-                        )
+            def tree_body(t, gcarry, info=info):
+                mats_j, prim_rows_j, tree_slots = _read_group_tables(
+                    objtx_ref, prim_ref, slots_ref, info, t
+                )
+                (d_t, n3_t), pos_t = _wide_tree_eval(
+                    info["template"], True, info["types_pos"],
+                    info["scale_pos"], info["needs_pos"],
+                    mats_j, prim_rows_j, p_rows, v_rows,
+                )
+                mat_t = jnp.zeros(shape, dtype)
+                pub_t = jnp.zeros(shape, dtype)
+                for j in range(info["L"]):
+                    sel = pos_t == j
+                    mat_t = jnp.where(
+                        sel, jnp.asarray(info["mat_pos"][j], dtype), mat_t
                     )
-                cands = []
-                for lo, hi, lo_id, hi_id in _eval_tree_intervals(template, intervals):
-                    cands.append((lo, lo_id))
-                    cands.append((hi, hi_id))
-                d_t, pos_t = tree_result(cands)
-                n3_t, mat_t, pub_t = payload_from_positions(d_t, pos_t, leaves)
+                    pub_t = jnp.where(sel, ids_ref[tree_slots[j]], pub_t)
                 # ascending-t strict-< fold: lowest tree index wins ties,
                 # matching engine._reduce_tree_axis's argmin
-                better = d_t < d_g
-                return (
-                    jnp.where(better, d_t, d_g),
-                    jnp.where(better[None], n3_t, n3_g),
-                    jnp.where(better, mat_t, mat_g),
-                    jnp.where(better, pub_t, pub_g),
+                return folded(
+                    gcarry, d_t, n3_t, mat_t, pub_t, info["code_base"] + t
                 )
 
-            carry_g = (
+            init = [
                 jnp.full(shape, jnp.inf, dtype),
                 jnp.zeros((3,) + shape, dtype),
                 jnp.zeros(shape, dtype),
                 jnp.zeros(shape, dtype),
-            )
-            if n_chunks[idx] == 0:
+            ]
+            if want_win:
+                init.append(jnp.full(shape, -1, jnp.int32))
+            carry_g = init
+            if info["n_chunks"] == 0:
                 carry_g = lax.fori_loop(0, T, tree_body, carry_g)
             else:
                 # supercell skip: the group's trees arrive spatially sorted
@@ -900,74 +947,136 @@ def _make_step_wide(spec: SceneSpec, config: TraceConfig):
                 # of _WIDE_CHUNK_TREES trees has one conservative AABB row
                 # in aabb_ref, and a block whose rays all miss it skips the
                 # chunk's whole tree loop
-                coff = chunk_offsets[idx]
+                coff = info["chunk_off"]
                 C = _WIDE_CHUNK_TREES
-                for c in range(n_chunks[idx]):
-                    lo3 = [aabb_ref[coff + c, k] for k in range(3)]
-                    hi3 = [aabb_ref[coff + c, 3 + k] for k in range(3)]
-                    start, stop = c * C, min((c + 1) * C, T)
-                    carry_g = lax.cond(
-                        block_any_hit(lo3, hi3),
-                        lambda cr, start=start, stop=stop: lax.fori_loop(
-                            start, stop, tree_body, cr
-                        ),
-                        lambda cr: cr,
-                        carry_g,
+                if dynamic_chunks:
+                    def chunk_body(c, cr, T=T, coff=coff):
+                        lo3 = [aabb_ref[coff + c, k] for k in range(3)]
+                        hi3 = [aabb_ref[coff + c, 3 + k] for k in range(3)]
+                        start = c * C
+                        stop = jnp.minimum(start + C, T)
+                        return lax.cond(
+                            _block_any_hit(lo3, hi3, p_rows, v_rows),
+                            lambda x: lax.fori_loop(start, stop, tree_body, x),
+                            lambda x: x,
+                            cr,
+                        )
+
+                    carry_g = lax.fori_loop(
+                        0, info["n_chunks"], chunk_body, carry_g
                     )
-            fold_global(*carry_g)
-
-        no_hit = jnp.isinf(best_d)
-        t_safe = jnp.where(no_hit, 0.0, best_d)
-        p_hit = p3 + t_safe * v3
-        normals = best_n
-
-        # INTERACT (parity: _make_step — dispatch on the folded material
-        # slot instead of a leaf index)
-        new_dir = jnp.where(no_hit, 0.0, v3)
-        new_index = ridx
-        new_inten = inten
-        for slot, kind in enumerate(spec.mat_kinds):
-            mask = (best_mat == slot) & ~no_hit
-            if kind == matl.KIND_ABSORB:
-                d2, i2, t2 = jnp.zeros_like(v3), ridx, inten
-            elif kind == matl.KIND_MIRROR:
-                d2, i2, t2 = reflect(v3, normals), ridx, inten
-            else:  # KIND_GLASS
-                n2 = _index_from_scalars(glass_ref, slot, wav)
-                d2, i2 = refract(v3, normals, ridx, n2, n_global=config.world_index)
-                t2 = inten
-            new_dir = jnp.where(mask, d2, new_dir)
-            new_index = jnp.where(mask, i2, new_index)
-            new_inten = jnp.where(mask, t2, new_inten)
-
-        # death rules + record + carry update: verbatim the narrow step's
-        # tail (kept inline — _make_step is the gradient-critical original
-        # and stays untouched)
-        absorbed = jnp.isclose(_norm_rows(v3), 0)
-        dead = absorbed | no_hit
-        if config.apply_intensity_threshold:
-            dead = dead | (inten < config.intensity_threshold)
-        living = alive & ~dead
-
-        public_id = best_pub  # folded payload; 0 where no hit
-        tilt = safe_normalize(v3, axis=0)
-        record = jnp.concatenate(
-            (
-                gen[None], inten[None], wav[None], ridx[None], rid[None],
-                public_id[None],
-                p3, p_hit, tilt,
+                else:
+                    for c in range(info["n_chunks"]):
+                        lo3 = [aabb_ref[coff + c, k] for k in range(3)]
+                        hi3 = [aabb_ref[coff + c, 3 + k] for k in range(3)]
+                        start, stop = c * C, min((c + 1) * C, T)
+                        carry_g = lax.cond(
+                            _block_any_hit(lo3, hi3, p_rows, v_rows),
+                            lambda cr, start=start, stop=stop: lax.fori_loop(
+                                start, stop, tree_body, cr
+                            ),
+                            lambda cr: cr,
+                            carry_g,
+                        )
+            best = folded(
+                best, carry_g[0], carry_g[1], carry_g[2], carry_g[3],
+                carry_g[4] if want_win else 0,
             )
-        )
 
-        new_p = jnp.where(living, p_hit + config.ray_offset * new_dir, p_hit)
-        new_gen = jnp.where(living, gen + 1, gen)
-        will_die = _sum_rows(new_dir * new_dir) == 0
-        living_f = (living & ~will_die).astype(dtype)
-        mask_f = living.astype(dtype)
-        return (
-            (new_p, new_dir, new_gen, new_inten, wav, new_index, rid, living_f),
-            record,
-            mask_f,
+        return tuple(best)
+
+    return fold
+
+
+def _wide_tail(spec: SceneSpec, config: TraceConfig, glass_view,
+               best_d, best_n, best_mat, best_pub, carry):
+    """PURE post-fold step tail: INTERACT + death rules + record + carry
+    update (parity: the narrow _make_step from its INTERACT block on,
+    dispatching on the folded material slot instead of a leaf index).
+    ``glass_view`` only needs ``g[slot, i]`` scalar access — an SMEM ref
+    in the forward kernel, nested traced scalars (differentiable) in the
+    backward.  Differentiable in (best_d, best_n, glass, carry floats);
+    best_mat / best_pub gate masks only."""
+    p3, v3, gen, inten, wav, ridx, rid, alive_f = carry
+    alive = alive_f > 0.5
+    dtype = p3.dtype
+
+    no_hit = jnp.isinf(best_d)
+    t_safe = jnp.where(no_hit, 0.0, best_d)
+    p_hit = p3 + t_safe * v3
+    normals = best_n
+
+    new_dir = jnp.where(no_hit, 0.0, v3)
+    new_index = ridx
+    new_inten = inten
+    for slot, kind in enumerate(spec.mat_kinds):
+        mask = (best_mat == slot) & ~no_hit
+        if kind == matl.KIND_ABSORB:
+            d2, i2, t2 = jnp.zeros_like(v3), ridx, inten
+        elif kind == matl.KIND_MIRROR:
+            d2, i2, t2 = reflect(v3, normals), ridx, inten
+        else:  # KIND_GLASS
+            n2 = _index_from_scalars(glass_view, slot, wav)
+            d2, i2 = refract(v3, normals, ridx, n2, n_global=config.world_index)
+            t2 = inten
+        new_dir = jnp.where(mask, d2, new_dir)
+        new_index = jnp.where(mask, i2, new_index)
+        new_inten = jnp.where(mask, t2, new_inten)
+
+    absorbed = jnp.isclose(_norm_rows(v3), 0)
+    dead = absorbed | no_hit
+    if config.apply_intensity_threshold:
+        dead = dead | (inten < config.intensity_threshold)
+    living = alive & ~dead
+
+    public_id = best_pub  # folded payload; 0 where no hit
+    tilt = safe_normalize(v3, axis=0)
+    record = jnp.concatenate(
+        (
+            gen[None], inten[None], wav[None], ridx[None], rid[None],
+            public_id[None],
+            p3, p_hit, tilt,
+        )
+    )
+
+    new_p = jnp.where(living, p_hit + config.ray_offset * new_dir, p_hit)
+    new_gen = jnp.where(living, gen + 1, gen)
+    will_die = _sum_rows(new_dir * new_dir) == 0
+    living_f = (living & ~will_die).astype(dtype)
+    mask_f = living.astype(dtype)
+    return (
+        (new_p, new_dir, new_gen, new_inten, wav, new_index, rid, living_f),
+        record,
+        mask_f,
+    )
+
+
+def _make_step_wide(spec: SceneSpec, config: TraceConfig):
+    """The generation step for wide scenes (supports_fused_wide): same
+    carry/record contract as :func:`_make_step`, composed as
+    ``_wide_tail  ∘  _make_wide_fold`` — the nearest-hit search runs per
+    *tree* (singles unrolled, groups as an in-VMEM fori_loop over
+    dynamically-indexed SMEM scalars under the supercell AABB skip), and
+    the fold carries the winner's payload (normal, material slot, public
+    id) computed at candidate time, since a grouped tree's leaf slot is a
+    traced scalar that cannot be re-indexed after the fold.  Compile size
+    is O(groups + single leaves), not O(total leaves).
+
+    Reverse mode lives in ops/fused_grad.py's WIDE backward, which
+    differentiates the same two pieces (jax.vjp of _wide_tail, then a
+    winner-masked per-tree vjp of _wide_tree_eval).
+    """
+    fold = _make_wide_fold(spec, config)
+
+    def step(objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref, carry):
+        p3, v3 = carry[0], carry[1]
+        p_rows = [p3[0], p3[1], p3[2]]
+        v_rows = [v3[0], v3[1], v3[2]]
+        best_d, best_n, best_mat, best_pub = fold(
+            objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref, p_rows, v_rows
+        )
+        return _wide_tail(
+            spec, config, glass_ref, best_d, best_n, best_mat, best_pub, carry
         )
 
     return step
