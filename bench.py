@@ -952,6 +952,50 @@ def wide_main():
             "speedup": round(t_x / t_f, 2),
             "max_masked_record_diff": diff,
         }
+    # wide gradient: differentiable lens-array design (8x8 = 129 leaves,
+    # within the wide backward's leaf cap; design notes "Wide gradients")
+    try:
+        from pyrayt_tpu.analysis.metrics import RmsSpotRadius
+        from pyrayt_tpu.ops import fused_grad
+        from pyrayt_tpu.scene.objects import fresh_ids
+
+        with fresh_ids():
+            lenslets = comp.microlens_array(2.0, 0.25, 8, 8, 1.0)
+            focus = pyrayt.lensmakers_equation(2.0, np.inf, 1.5, 0.25)
+            detector = comp.baffle((16.0, 16.0)).move_x(focus)
+            det_id = float(detector.get_id())
+            scene = compile_scene(lenslets + [detector])
+        src = comp.GridOfRays(8.4, 8.4).move_x(-1.0)
+        rays = src.generate_rays(N_RAYS)
+        rays = rays.replace(id=jnp.arange(N_RAYS, dtype=rays.positions.dtype))
+        loss = RmsSpotRadius(surface_id=det_id)
+        vg = fused_grad.build_fused_value_and_grad_fn(
+            scene.spec, scene.materials, config, loss,
+            interpret=not ft.on_tpu(),
+        )
+        grad_fn = jax.jit(jax.value_and_grad(vg))
+
+        @jax.jit
+        def chained_g(params, rays0):
+            def body(i, acc):
+                v, g = grad_fn(
+                    params, rays0.replace(positions=rays0.positions + i * 1e-30)
+                )
+                return acc + v + g["prim"][0, 0]
+
+            return lax.fori_loop(0, 4, body, jnp.asarray(0.0, rays0.positions.dtype))
+
+        jax.block_until_ready(chained_g(scene.params, rays))
+        best = float("inf")
+        for _ in range(max(2, REPEATS // 2)):
+            t0 = time.perf_counter()
+            float(np.asarray(chained_g(scene.params, rays)))
+            best = min(best, time.perf_counter() - t0)
+        out["wide_gradient_ms_per_step_8x8"] = round(best / 4 * 1e3, 2)
+        out["wide_gradient_rays_per_second"] = round(N_RAYS / (best / 4))
+    except Exception as exc:  # pragma: no cover - defensive
+        out["wide_gradient_error"] = f"{type(exc).__name__}: {exc}"
+
     last = [v for v in out.values() if isinstance(v, dict)]
     out["value"] = last[-1]["speedup"] if last else None
     out["vs_baseline"] = None
