@@ -103,8 +103,10 @@ _FUSED_WIDE_MAX_LEAVES = 4096
 # the wide BACKWARD kernel's cap: its per-generation vjp program crashes
 # the Mosaic compile helper past ~300 leaves on this toolchain (silent
 # subprocess death, no diagnostic; 12x12 MLA = 289 leaves compiles and
-# runs, 16x16 = 513 does not, even with single-copy dynamic chunk
-# sweeps).  Gradients of wider scenes differentiate the XLA engine.
+# runs, 16x16 = 513 does not — reproduced with single-copy dynamic chunk
+# sweeps AND with chunking disabled entirely, so the trigger is the
+# scene-table scale itself, not the loop structure).  Gradients of wider
+# scenes differentiate the XLA engine.
 _FUSED_WIDE_GRAD_MAX_LEAVES = 300
 
 
