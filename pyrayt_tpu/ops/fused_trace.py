@@ -127,8 +127,9 @@ def supports_fused_wide(spec: SceneSpec) -> bool:
     leaf count past the unrolled kernel's cap, the engine's wide plan finds
     at least one batchable same-shape tree group, and whatever is NOT
     grouped (odd singles like the detector baffle) is small enough to
-    unroll.  Forward-only: gradients through wide scenes differentiate the
-    XLA engine (pick_fused enforces this)."""
+    unroll.  Gradients have their own wide backward kernel up to
+    ``_FUSED_WIDE_GRAD_MAX_LEAVES`` (ops/fused_grad._make_bwd_kernel_wide);
+    past that cap they differentiate the XLA engine (pick_fused)."""
     from pyrayt_tpu.tracer.engine import _tree_slots, _wide_plan
 
     if not (
