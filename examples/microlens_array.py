@@ -21,6 +21,10 @@ The script:
    30 steps: r 2.300 -> 2.028 mm against nominal 2.0).
 
 Run:  python examples/microlens_array.py [--n 16] [--rays 65536] [--optimize 30]
+      python examples/microlens_array.py --optimize-per-lenslet 30
+          (freeform mode: n*n independent lenslet radii + the detector
+           plane, each lenslet randomly detuned — exercises per-tree
+           gradient accumulation at scale)
 """
 
 import os
@@ -110,8 +114,9 @@ def main(n=16, n_rays=1 << 16, steps=0):
 
     # --- optional: descend it.  Start the shared radius detuned 15% high
     # and let adam walk the whole ARRAY back to focus — on TPU every step
-    # runs the wide fused forward + backward kernels (arrays up to ~300
-    # surfaces; see docs/design_notes.md "Wide gradients").
+    # runs the wide fused forward + backward kernels (any array size: the
+    # STAGED backward covers scenes past the monolithic kernel's ~300-leaf
+    # cap; see docs/design_notes.md "Wide gradients").
     if steps:
         from pyrayt_tpu.analysis import optimize
 
@@ -128,6 +133,65 @@ def main(n=16, n_rays=1 << 16, steps=0):
     return float(value), float(grad)
 
 
+def main_per_lenslet(n=16, n_rays=1 << 16, steps=30, seed=3):
+    """Freeform-array design: ``n*n`` INDEPENDENT lenslet radii (plus the
+    detector-plane position) optimized jointly.  Each lenslet starts with
+    its own random detuning, so recovery requires genuinely per-tree
+    gradients — the wide backward accumulates one cotangent per lenslet
+    per step (tests/test_ops/test_fused_staged_grad.py pins them against
+    the XLA engine at f64).  The reference's FD loop would need
+    ``n*n + 1`` re-traces per step for the same search direction
+    (/root/reference/examples/lens_design.ipynb cells 28-33)."""
+    import numpy as np
+
+    from pyrayt_tpu.analysis import optimize
+
+    rng = np.random.default_rng(seed)
+    span = n * PITCH * 0.95
+    source = components.GridOfRays(span, span).move_x(-1.0)
+    rays = source.generate_rays(n_rays)
+    rays = rays.replace(id=jnp.arange(n_rays, dtype=rays.positions.dtype))
+    focus = pyrayt.lensmakers_equation(R_LENSLET, np.inf, 1.5, THICKNESS)
+    off = 0.0 if n % 2 else PITCH / 2.0
+
+    def build(theta):
+        lenslets = components.microlens_array(
+            theta["radii"], THICKNESS, n, n, PITCH
+        )
+        detector = components.baffle(
+            (2.0 * n * PITCH, 2.0 * n * PITCH)
+        ).move_x(theta["det_x"])
+        return lenslets + [detector]
+
+    radii0 = jnp.asarray(R_LENSLET * (1.0 + 0.15 * rng.standard_normal(n * n)))
+    theta0 = {"radii": radii0, "det_x": jnp.asarray(focus * 1.05)}
+    with fresh_ids():
+        det_id = float(build(theta0)[-1].get_id())
+
+    def lenslet_blur(res):
+        m = surface_mask(res, det_id)
+        y = res.records[:, COL["y1"], :]
+        z = res.records[:, COL["z1"], :]
+        dy = y - (PITCH * jnp.round((y - off) / PITCH) + off)
+        dz = z - (PITCH * jnp.round((z - off) / PITCH) + off)
+        return masked_mean(dy**2 + dz**2, m)
+
+    objective = build_objective(
+        build, rays, lenslet_blur, TraceConfig(generation_limit=4, fixed_loop=True)
+    )
+    theta, history = optimize(
+        objective, theta0, steps=steps, learning_rate=2e-2
+    )
+    r_err0 = np.abs(np.asarray(radii0) - R_LENSLET)
+    r_err1 = np.abs(np.asarray(theta["radii"]) - R_LENSLET)
+    print(f"{n}x{n} per-lenslet optimize ({steps} steps, {n * n + 1} params):")
+    print(f"  blur {history[0]:.5f} -> {min(history):.5f} mm^2")
+    print(f"  mean |r - nominal|: {r_err0.mean():.4f} -> {r_err1.mean():.4f} mm")
+    print(f"  detector x: {focus * 1.05:.3f} -> {float(theta['det_x']):.3f} "
+          f"(nominal {focus:.3f})")
+    return history, theta
+
+
 if __name__ == "__main__":
     n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 16
     rays = (
@@ -140,4 +204,8 @@ if __name__ == "__main__":
         if "--optimize" in sys.argv
         else 0
     )
-    main(n=n, n_rays=rays, steps=steps)
+    if "--optimize-per-lenslet" in sys.argv:
+        per_steps = int(sys.argv[sys.argv.index("--optimize-per-lenslet") + 1])
+        main_per_lenslet(n=n, n_rays=rays, steps=per_steps)
+    else:
+        main(n=n, n_rays=rays, steps=steps)

@@ -433,12 +433,30 @@ def microlens_array(
     into a single (trees x rays) sweep (tracer/engine.py), keeping compile
     time flat in the lenslet count.
 
-    ``r`` may be a traced value for differentiable lenslet design.
+    ``r`` may be a traced value for differentiable lenslet design — either
+    one shared radius (scalar) or ``ny * nx`` independent per-lenslet radii
+    (a 1-D array/sequence in row-major ``(iy, ix)`` order): the freeform-
+    array workload.  Per-lenslet values keep the lenslets batchable (the
+    wide plan groups by CSG *shape*, not parameter values), and the wide
+    backward accumulates each lenslet's own cotangent
+    (tests/test_ops/test_fused_staged_grad.py).
     """
     if material is None:
         material = matl.glass["ideal"]
     if aperture is None:
         aperture = pitch
+
+    def _r_of(i):
+        import numpy as _np
+
+        if _np.ndim(r) > 0:
+            if len(r) != ny * nx:
+                raise ValueError(
+                    f"per-lenslet radii: expected {ny * nx} values, got {len(r)}"
+                )
+            return r[i]
+        return r
+
     lenslets = []
     for iy in range(ny):
         for iz in range(nx):
@@ -446,7 +464,8 @@ def microlens_array(
             z = (iz - (nx - 1) / 2.0) * pitch
             lenslets.append(
                 plano_convex_lens(
-                    r, thickness, aperture=aperture, material=material
+                    _r_of(iy * nx + iz), thickness,
+                    aperture=aperture, material=material,
                 )
                 .move_y(y)
                 .move_z(z)

@@ -41,3 +41,10 @@ class TraceConfig:
     #: step for not round-tripping every intersection/CSG intermediate
     #: through HBM.  No effect on forward-only traces.
     remat: bool = False
+    #: WIDE-scene backward selection (scenes past the narrow kernel's leaf
+    #: cap): None = auto (the monolithic wide backward kernel up to its
+    #: Mosaic compile cap, the STAGED multi-dispatch backward past it),
+    #: "staged" = always the staged backward, "fused" = always the
+    #: monolithic kernel (raises past its cap).  See
+    #: ops/fused_grad._run_bwd_staged.
+    wide_grad: Optional[str] = None

@@ -62,6 +62,7 @@ __all__ = [
     "build_fused_value_and_grad_fn",
     "bwd_block_rays",
     "loss_plan",
+    "wide_grad_mode",
 ]
 
 
@@ -656,6 +657,511 @@ def _run_bwd(
 
 
 # ---------------------------------------------------------------------------
+# The STAGED wide backward: no Mosaic program ever sees the full scene.
+#
+# The monolithic wide backward kernel (above) crashes the Mosaic compile
+# helper past ~300 leaves — the trigger scales with the scene-table size
+# itself (docs/design_notes.md).  The staged backward removes the full
+# table from every kernel:
+#
+# * the FORWARD saves the fold outputs (win code, best_d, best_n,
+#   best_mat) per generation (fused_trace.build_fused_trace_fn with
+#   save_fold=True), so the backward never recomputes the nearest-hit
+#   search at all;
+# * per generation (a static reversed loop in XLA), the TAIL vjp —
+#   INTERACT + record + carry, no scene geometry — runs as plain XLA
+#   (jax.vjp of fused_trace._wide_tail on flat (n,) arrays);
+# * the fold backward fans out over CHUNKS of trees: each chunk is its
+#   own Pallas dispatch whose scene table holds at most
+#   ``_STAGED_CHUNK_LEAVES`` leaves, PRE-GATHERED in chunk-local order
+#   (XLA gathers the sorted slot vector's segment — the kernel has no
+#   slot indirection and no S-sized anything).  Ragged last chunks pad
+#   their tree count by repeating the first chunk tree (codes above the
+#   group's range never match a win code, so pads contribute exact
+#   zeros), keeping every chunk of a group the same shape — one compiled
+#   program.  Chunk outputs scatter-add back into the (S, 16)/(S, P)
+#   accumulators in XLA;
+# * the ray-state cotangent chain (carry_bar) rides HBM between
+#   generations — ~6 rows/generation of extra traffic, measured in the
+#   design notes.
+#
+# Parity: tests/test_ops/test_fused_staged_grad.py pins the staged path
+# against jax.grad of the XLA engine at f64 (interpret mode), both
+# generic and loss-fused, including a scene past the monolithic cap.
+# ---------------------------------------------------------------------------
+
+# leaves per staged chunk kernel's scene table.  The monolithic kernel
+# compiles at 289 leaves and dies at 513; 256 keeps each chunk program —
+# which also carries far less code than the monolithic kernel (no fold
+# recompute, no tail) — comfortably inside the working envelope.
+_STAGED_CHUNK_LEAVES = 256
+# trees per winner-skip subchunk inside a staged chunk kernel (same role
+# as fused_trace._WIDE_CHUNK_TREES: one any-winner test guards a
+# subchunk's whole tree sweep)
+_STAGED_SUBCHUNK_TREES = 16
+
+
+def wide_grad_mode(spec: SceneSpec, config: TraceConfig) -> str:
+    """Backward-path selection: ``"narrow"`` (unrolled scenes),
+    ``"fused"`` (the monolithic wide kernel) or ``"staged"``.
+
+    ``config.wide_grad`` forces a wide mode; None picks the monolithic
+    kernel up to its Mosaic compile cap and the staged backward past it.
+    """
+    if ft.supports_fused(spec):
+        return "narrow"
+    mode = config.wide_grad
+    if mode == "staged":
+        return "staged"
+    if mode == "fused":
+        if spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES:
+            raise ValueError(
+                "wide_grad='fused' but the scene exceeds the monolithic wide "
+                f"backward's leaf cap ({ft._FUSED_WIDE_GRAD_MAX_LEAVES}); "
+                "use wide_grad='staged'"
+            )
+        return "fused"
+    if mode is not None:
+        raise ValueError(f"unknown wide_grad mode {mode!r}")
+    return (
+        "staged"
+        if spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
+        else "fused"
+    )
+
+
+def _staged_plan(spec: SceneSpec):
+    """Static chunking of the wide fold plan: ``(singles_infos,
+    group_chunks)`` with ``group_chunks[i] = (info, ct, nc)`` — trees per
+    chunk and chunk count for each batched group."""
+    plan = ft._wide_fold_plan(spec)
+    singles = tuple(info for kind, idx, info in plan if kind == "single")
+    groups = []
+    for kind, idx, info in plan:
+        if kind != "group":
+            continue
+        ct = max(1, _STAGED_CHUNK_LEAVES // info["L"])
+        nc = -(-info["T"] // ct)
+        groups.append((info, min(ct, info["T"]) if nc == 1 else ct, nc))
+    return singles, tuple(groups)
+
+
+@lru_cache(maxsize=256)
+def _make_staged_group_kernel(
+    template, fast, types_pos, scale_pos, needs_pos, n_trees, n_prim_cols,
+):
+    """One chunk's fold-backward kernel: winner-masked per-tree vjp of the
+    pure tree eval over a chunk-local scene table.
+
+    Refs: ``objtx_ref (n_trees*L, 16)`` / ``prim_ref (n_trees*L, P)``
+    chunk tables in SMEM (row ``t*L + j`` = tree t's leaf j),
+    ``code_ref (2,)`` = [first tree's global fold code, one past the
+    group's real code range] (pads compare >= the hi bound and never
+    select), ``buf_ref (10, R, L)`` = [p3, v3, d_best_d, d_best_n] rows,
+    ``win_ref (R, L)`` int32 fold codes.  Outputs: per-row table
+    cotangents (SMEM, accumulated across the sequential ray grid) and
+    the (6, R, L) ray-state cotangent block [d_p3, d_v3].
+
+    lru_cached on the static signature so every same-shape chunk of a
+    group — across chunks AND generations — reuses one kernel function,
+    letting XLA/Mosaic deduplicate the compiled program.
+    """
+    L = len(types_pos)
+    nsub = -(-n_trees // _STAGED_SUBCHUNK_TREES)
+
+    def kernel(objtx_ref, prim_ref, code_ref, buf_ref, win_ref,
+               dobj_ref, dprim_ref, dpv_ref):
+        dtype = buf_ref.dtype
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _init():
+            def zrow(r, c):
+                for i in range(16):
+                    dobj_ref[r, i] = jnp.zeros((), dtype)
+                for i in range(n_prim_cols):
+                    dprim_ref[r, i] = jnp.zeros((), dtype)
+                return c
+
+            lax.fori_loop(0, n_trees * L, zrow, 0)
+
+        buf = buf_ref[:]
+        p_rows = [buf[0], buf[1], buf[2]]
+        v_rows = [buf[3], buf[4], buf[5]]
+        d_bd = buf[6]
+        d_bn = buf[7:10]
+        win = win_ref[:]
+        lo = code_ref[0]
+        hi = code_ref[1]
+
+        def tree_bwd(t, acc):
+            ap, av = acc
+            row0 = t * L
+            mats_j = [
+                [[objtx_ref[row0 + j, 4 * i + k] for k in range(4)]
+                 for i in range(4)]
+                for j in range(L)
+            ]
+            prim_rows_j = [
+                [prim_ref[row0 + j, i] for i in range(n_prim_cols)]
+                for j in range(L)
+            ]
+            code = lo + t
+            sel = ((win == code) & (code < hi)).astype(dtype)
+            gd = d_bd * sel
+            gn = d_bn * sel[None]
+
+            def evalf(mj, pj, pr, vr):
+                return ft._wide_tree_eval(
+                    template, fast, types_pos, scale_pos, needs_pos,
+                    mj, pj, pr, vr,
+                )[0]
+
+            _, vjp_fn = jax.vjp(evalf, mats_j, prim_rows_j, p_rows, v_rows)
+            g_mats, g_prims, g_p, g_v = vjp_fn((gd, gn))
+            for j in range(L):
+                for i in range(4):
+                    for k in range(4):
+                        dobj_ref[row0 + j, 4 * i + k] = (
+                            dobj_ref[row0 + j, 4 * i + k] + g_mats[j][i][k]
+                        )
+                for i in range(n_prim_cols):
+                    dprim_ref[row0 + j, i] = (
+                        dprim_ref[row0 + j, i] + g_prims[j][i]
+                    )
+            return (ap + jnp.stack(g_p), av + jnp.stack(g_v))
+
+        shape = p_rows[0].shape
+        acc = (
+            jnp.zeros((3,) + shape, dtype),
+            jnp.zeros((3,) + shape, dtype),
+        )
+        C = _STAGED_SUBCHUNK_TREES
+
+        def sub_bwd(c, a):
+            start = c * C
+            stop = jnp.minimum(start + C, n_trees)
+            won = (win >= lo + start) & (win < jnp.minimum(lo + stop, hi))
+            return lax.cond(
+                jnp.max(won.astype(dtype)) > 0,
+                lambda aa: lax.fori_loop(start, stop, tree_bwd, aa),
+                lambda aa: aa,
+                a,
+            )
+
+        acc = lax.fori_loop(0, nsub, sub_bwd, acc)
+        dpv_ref[:] = jnp.concatenate(acc)
+
+    return kernel
+
+
+def _make_staged_singles_kernel(singles_infos, n_prim_cols):
+    """The ungrouped singles' fold backward — one kernel, python-unrolled
+    (singles total <= fused_trace._FUSED_MAX_LEAVES leaves by
+    supports_fused_wide).  Table rows are the singles' leaves in plan
+    order; codes are static.  Signature matches the group chunk kernel
+    (code_ref present but unused) so the orchestration treats all chunk
+    calls uniformly."""
+    row_of = []
+    r = 0
+    for info in singles_infos:
+        row_of.append(r)
+        r += len(info["slots"])
+
+    def kernel(objtx_ref, prim_ref, code_ref, buf_ref, win_ref,
+               dobj_ref, dprim_ref, dpv_ref):
+        del code_ref
+        dtype = buf_ref.dtype
+        first = pl.program_id(0) == 0
+        n_rows = r
+
+        @pl.when(first)
+        def _init():
+            def zrow(rr, c):
+                for i in range(16):
+                    dobj_ref[rr, i] = jnp.zeros((), dtype)
+                for i in range(n_prim_cols):
+                    dprim_ref[rr, i] = jnp.zeros((), dtype)
+                return c
+
+            lax.fori_loop(0, n_rows, zrow, 0)
+
+        buf = buf_ref[:]
+        p_rows = [buf[0], buf[1], buf[2]]
+        v_rows = [buf[3], buf[4], buf[5]]
+        d_bd = buf[6]
+        d_bn = buf[7:10]
+        win = win_ref[:]
+
+        d_p3 = jnp.zeros((3,) + p_rows[0].shape, dtype)
+        d_v3 = jnp.zeros_like(d_p3)
+        for si, info in enumerate(singles_infos):
+            row0 = row_of[si]
+            Lj = len(info["slots"])
+            mats_j = [
+                [[objtx_ref[row0 + j, 4 * i + k] for k in range(4)]
+                 for i in range(4)]
+                for j in range(Lj)
+            ]
+            prim_rows_j = [
+                [prim_ref[row0 + j, i] for i in range(n_prim_cols)]
+                for j in range(Lj)
+            ]
+            sel = (win == info["code"]).astype(dtype)
+            gd = d_bd * sel
+            gn = d_bn * sel[None]
+
+            def evalf(mj, pj, pr, vr, info=info):
+                return ft._wide_tree_eval(
+                    info["template"], info["fast"], info["types_pos"],
+                    info["scale_pos"], info["needs_pos"],
+                    mj, pj, pr, vr,
+                )[0]
+
+            _, vjp_fn = jax.vjp(evalf, mats_j, prim_rows_j, p_rows, v_rows)
+            g_mats, g_prims, g_p, g_v = vjp_fn((gd, gn))
+            for j in range(Lj):
+                for i in range(4):
+                    for k in range(4):
+                        dobj_ref[row0 + j, 4 * i + k] = (
+                            dobj_ref[row0 + j, 4 * i + k] + g_mats[j][i][k]
+                        )
+                for i in range(n_prim_cols):
+                    dprim_ref[row0 + j, i] = (
+                        dprim_ref[row0 + j, i] + g_prims[j][i]
+                    )
+            d_p3 = d_p3 + jnp.stack(g_p)
+            d_v3 = d_v3 + jnp.stack(g_v)
+        dpv_ref[:] = jnp.concatenate((d_p3, d_v3))
+
+    return kernel
+
+
+def _run_bwd_staged(
+    spec: SceneSpec,
+    config: TraceConfig,
+    interpret: bool,
+    params,
+    state0,
+    records,
+    masks,
+    fold5,
+    win,
+    d_records=None,
+    d_fstate=None,
+    scal=None,
+    loss_drec=None,
+):
+    """The staged wide backward (see the section comment above): returns
+    ``(d_objtx (S, 16), d_prim, d_glass, d_state0 (13, n))`` — the same
+    contract as :func:`_run_bwd` — without any Mosaic program seeing more
+    than ``_STAGED_CHUNK_LEAVES`` leaves of scene table.
+
+    ``fold5``/``win`` are the forward's saved fold outputs
+    (build_fused_trace_fn(save_fold=True)); never-ran generations carry
+    win = -1 and are additionally skipped whole via ``lax.cond`` on the
+    dynamic trip count, mirroring the monolithic kernels."""
+    import numpy as np
+
+    generations = config.generation_limit
+    loss_mode = loss_drec is not None
+    dtype = records.dtype
+    n = records.shape[-1]
+    S = spec.n_leaves
+    itemsize = jnp.dtype(dtype).itemsize
+    r_rows = 64 if itemsize <= 4 else 32
+    block = r_rows * ft.LANE
+    n_pad = -(-n // block) * block
+
+    obj_tx = affine_inverse(params["world"]).reshape(S, 16).astype(dtype)
+    prim_p = params["prim"].astype(dtype)
+    glass = params["glass"]
+    if glass.shape[0] == 0:
+        glass = jnp.zeros((1, matl.N_GLASS_COEFFS), dtype)
+    glass = glass.astype(dtype)
+    n_prim_cols = prim_p.shape[1]
+
+    # the win codes saved by the forward enumerate trees in the
+    # spatially-SORTED fold order, so chunk tables gather through the same
+    # runtime slot vector (deterministic in params; non-differentiable)
+    slots_arr, _ = ft._wide_runtime_tables(spec, params, dtype)
+    slots_arr = lax.stop_gradient(slots_arr)
+
+    singles_infos, group_chunks = _staged_plan(spec)
+
+    # uniform chunk-call list: (kernel_fn, row_slots (rows,) int32 traced,
+    # code_lo/hi array, n_rows)
+    chunk_calls = []
+    if singles_infos:
+        rows = np.concatenate(
+            [np.asarray(info["slots"], np.int64) for info in singles_infos]
+        )
+        chunk_calls.append(
+            (
+                _make_staged_singles_kernel(singles_infos, n_prim_cols),
+                jnp.asarray(rows, jnp.int32),
+                jnp.zeros((2,), jnp.int32),
+                len(rows),
+            )
+        )
+    for info, ct, nc in group_chunks:
+        T, L, off = info["T"], info["L"], info["off"]
+        kern = _make_staged_group_kernel(
+            info["template"], True, info["types_pos"], info["scale_pos"],
+            info["needs_pos"], ct, n_prim_cols,
+        )
+        for k in range(nc):
+            trees = np.clip(np.arange(k * ct, (k + 1) * ct), 0, T - 1)
+            pos = (
+                off + (trees[:, None] * L + np.arange(L)[None, :])
+            ).ravel()
+            row_slots = slots_arr[jnp.asarray(pos, jnp.int32)]
+            code = jnp.asarray(
+                [info["code_base"] + k * ct, info["code_base"] + T], jnp.int32
+            )
+            chunk_calls.append((kern, row_slots, code, ct * L))
+
+    masks_f = masks.astype(dtype)
+    u = ft._LOOP_UNROLL
+    while generations % u:
+        u -= 1
+    any_g = jnp.any(masks, axis=1)
+    count1 = jnp.sum(any_g.astype(jnp.int32)) + 1
+    ran = jnp.minimum(-(-count1 // u) * u, generations)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_buf = pl.BlockSpec(
+        (10, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    vmem_win = pl.BlockSpec(
+        (r_rows, ft.LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vmem_dpv = pl.BlockSpec(
+        (6, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+
+    def tile2(x, fill=0):
+        # win tiles pad with -1: 0 is a real fold code, and although the
+        # zero-padded d_bd/d_bn rows already zero any padded-ray cotangent,
+        # -1 keeps the subchunk winner skip exact for the padding too
+        return jnp.pad(x, ((0, n_pad - n),), constant_values=fill).reshape(
+            n_pad // ft.LANE, ft.LANE
+        )
+
+    def tile_rows(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n))).reshape(
+            x.shape[0], n_pad // ft.LANE, ft.LANE
+        )
+
+    def gen_step(g, ops):
+        carry_bar, d_obj_acc, d_prim_acc, d_glass_acc = ops
+        rec = records[g]
+        mask_g = masks_f[g]
+        if loss_mode:
+            drec = loss_drec(rec, mask_g, scal)
+        else:
+            drec = d_records[g]
+        # input-state reconstruction (see _make_bwd_kernel's body): a
+        # generation's record rows ARE its input state; generation 0 uses
+        # the true initial state (non-renormalized directions)
+        if g == 0:
+            carry_g = (
+                state0[0:3], state0[4:7], state0[8], state0[9],
+                state0[10], state0[11], state0[12], jnp.ones_like(mask_g),
+            )
+        else:
+            carry_g = (
+                rec[6:9], rec[12:15], rec[0], rec[1], rec[2], rec[3],
+                rec[4], masks_f[g - 1],
+            )
+        best_d = fold5[g, 0]
+        best_n = fold5[g, 1:4]
+        best_mat = fold5[g, 4]
+        best_pub = rec[5]
+        win_g = win[g]
+
+        def tailf(bd, bn, gv, cr):
+            return ft._wide_tail(
+                spec, config, gv, bd, bn, best_mat, best_pub, cr
+            )
+
+        _, tail_vjp = jax.vjp(tailf, best_d, best_n, glass, carry_g)
+        d_bd, d_bn, g_gv, d_carry = tail_vjp(
+            (carry_bar, drec, jnp.zeros_like(mask_g))
+        )
+        d_glass_acc = d_glass_acc + g_gv
+        d_p3 = d_carry[0]
+        d_v3 = d_carry[1]
+
+        buf_t = tile_rows(
+            jnp.concatenate((carry_g[0], carry_g[1], d_bd[None], d_bn))
+        )
+        win_t = tile2(win_g, fill=-1)
+        for kern, row_slots, code, n_rows in chunk_calls:
+            tbl_o = obj_tx[row_slots]
+            tbl_p = prim_p[row_slots]
+            d_obj_rows, d_prim_rows, dpv = pl.pallas_call(
+                kern,
+                grid=(n_pad // block,),
+                in_specs=[smem, smem, smem, vmem_buf, vmem_win],
+                out_specs=(smem, smem, vmem_dpv),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_rows, 16), dtype),
+                    jax.ShapeDtypeStruct((n_rows, n_prim_cols), dtype),
+                    jax.ShapeDtypeStruct((6, n_pad // ft.LANE, ft.LANE), dtype),
+                ),
+                interpret=interpret,
+            )(tbl_o, tbl_p, code, buf_t, win_t)
+            # pads repeat real rows with exact-zero contributions; XLA
+            # scatter-add sums duplicate indices
+            d_obj_acc = d_obj_acc.at[row_slots].add(d_obj_rows)
+            d_prim_acc = d_prim_acc.at[row_slots].add(d_prim_rows)
+            dpv = dpv.reshape(6, n_pad)[:, :n]
+            d_p3 = d_p3 + dpv[:3]
+            d_v3 = d_v3 + dpv[3:]
+
+        new_bar = (
+            d_p3, d_v3, d_carry[2], d_carry[3], d_carry[4], d_carry[5],
+            d_carry[6], jnp.zeros_like(d_carry[2]),
+        )
+        return new_bar, d_obj_acc, d_prim_acc, d_glass_acc
+
+    if loss_mode:
+        zero_n = jnp.zeros((n,), dtype)
+        carry_bar0 = (
+            jnp.zeros((3, n), dtype), jnp.zeros((3, n), dtype),
+        ) + (zero_n,) * 6
+    else:
+        df = d_fstate.astype(dtype)
+        carry_bar0 = (
+            df[0:3], df[4:7], df[8], df[9], df[10], df[11], df[12],
+            jnp.zeros_like(df[8]),
+        )
+    ops = (
+        carry_bar0,
+        jnp.zeros((S, 16), dtype),
+        jnp.zeros((S, n_prim_cols), dtype),
+        jnp.zeros_like(glass),
+    )
+    for g in reversed(range(generations)):
+        ops = lax.cond(
+            g < ran, lambda o, g=g: gen_step(g, o), lambda o: o, ops
+        )
+    carry_bar, d_obj_acc, d_prim_acc, d_glass_acc = ops
+    p_bar, v_bar, gen_bar, int_bar, wav_bar, idx_bar, id_bar, _ = carry_bar
+    zero = jnp.zeros_like(gen_bar)
+    d_state0 = jnp.concatenate(
+        (
+            p_bar, zero[None],
+            v_bar, zero[None],
+            gen_bar[None], int_bar[None], wav_bar[None],
+            idx_bar[None], id_bar[None],
+        )
+    )
+    return d_obj_acc, d_prim_acc, d_glass_acc, d_state0
+
+
+# ---------------------------------------------------------------------------
 # Fused losses: recognized scalar objectives whose record-cotangent is a
 # closed form of (records, a few global scalars).  The generic custom_vjp
 # path must materialize a full (G, 15, n) cotangent buffer through HBM —
@@ -883,16 +1389,15 @@ def build_fused_value_and_grad_fn(
         raise ValueError(f"loss {loss!r} has no fused plan")
     if not (ft.supports_fused(spec) or ft.supports_fused_wide(spec)):
         raise ValueError("scene has non-packed materials; use the XLA engine")
-    if not ft.supports_fused(spec) and (
-        spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
-    ):
-        raise ValueError(
-            "scene exceeds the wide backward kernel's leaf cap "
-            f"({ft._FUSED_WIDE_GRAD_MAX_LEAVES}); differentiate the XLA engine"
-        )
+    mode = wide_grad_mode(spec, config)
+    staged = mode == "staged"
     assert ft._ZERO_RECORDS
 
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
+    if staged:
+        fwd_fold_fn = ft.build_fused_trace_fn(
+            spec, materials, config, interpret=interpret, save_fold=True
+        )
 
     def _static_tail(loss):
         from pyrayt_tpu.analysis import metrics as _m
@@ -915,14 +1420,18 @@ def build_fused_value_and_grad_fn(
         return plan.value(plan.scalars(result.records, result.record_mask))
 
     def fwd_rule(params, rays):
-        result = fwd_fn(params, rays)
+        if staged:
+            result, fold5, win = fwd_fold_fn(params, rays)
+        else:
+            result = fwd_fn(params, rays)
+            fold5 = win = None
         scal = plan.scalars(result.records, result.record_mask)
         return plan.value(scal), (
-            params, rays, result.records, result.record_mask, scal
+            params, rays, result.records, result.record_mask, scal, fold5, win
         )
 
     def bwd_rule(residuals, g):
-        params, initial_rays, records, masks, scal = residuals
+        params, initial_rays, records, masks, scal, fold5, win = residuals
         dtype = records.dtype
         scal_full = jnp.concatenate(
             (
@@ -934,10 +1443,16 @@ def build_fused_value_and_grad_fn(
         state0 = jnp.concatenate(
             (initial_rays.positions, initial_rays.directions, initial_rays.metadata)
         )
-        d_objtx, d_prim, d_glass, d_state0 = _run_bwd(
-            spec, config, interpret, params, state0, records, masks,
-            scal=scal_full, loss_drec=plan.drec,
-        )
+        if staged:
+            d_objtx, d_prim, d_glass, d_state0 = _run_bwd_staged(
+                spec, config, interpret, params, state0, records, masks,
+                fold5, win, scal=scal_full, loss_drec=plan.drec,
+            )
+        else:
+            d_objtx, d_prim, d_glass, d_state0 = _run_bwd(
+                spec, config, interpret, params, state0, records, masks,
+                scal=scal_full, loss_drec=plan.drec,
+            )
 
         _, inv_vjp = jax.vjp(
             lambda w: affine_inverse(w).reshape(spec.n_leaves, 16),
@@ -987,21 +1502,26 @@ def build_fused_vjp_trace_fn(
 
     if not (ft.supports_fused(spec) or ft.supports_fused_wide(spec)):
         raise ValueError("scene has non-packed materials; use the XLA engine")
-    if not ft.supports_fused(spec) and (
-        spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
-    ):
-        raise ValueError(
-            "scene exceeds the wide backward kernel's leaf cap "
-            f"({ft._FUSED_WIDE_GRAD_MAX_LEAVES}); differentiate the XLA engine"
-        )
+    mode = wide_grad_mode(spec, config)
+    staged = mode == "staged"
     # never-ran generations' record rows double as this kernel's "state is
     # zero, step is an identity" sentinel — the forward must zero-fill them
     assert ft._ZERO_RECORDS, "fused backward requires zero-filled records"
 
     generations = config.generation_limit
     fwd_fn = ft.build_fused_trace_fn(spec, materials, config, interpret=interpret)
+    if staged:
+        fwd_fold_fn = ft.build_fused_trace_fn(
+            spec, materials, config, interpret=interpret, save_fold=True
+        )
 
-    def _bwd_pallas(params, state0, d_records, d_fstate, records, masks):
+    def _bwd_pallas(params, state0, d_records, d_fstate, records, masks,
+                    fold5, win):
+        if staged:
+            return _run_bwd_staged(
+                spec, config, interpret, params, state0, records, masks,
+                fold5, win, d_records=d_records, d_fstate=d_fstate,
+            )
         return _run_bwd(
             spec, config, interpret, params, state0, records, masks,
             d_records=d_records, d_fstate=d_fstate,
@@ -1012,11 +1532,18 @@ def build_fused_vjp_trace_fn(
         return fwd_fn(params, initial_rays)
 
     def trace_fwd(params, initial_rays):
-        result = fwd_fn(params, initial_rays)
-        return result, (params, initial_rays, result.records, result.record_mask)
+        if staged:
+            result, fold5, win = fwd_fold_fn(params, initial_rays)
+        else:
+            result = fwd_fn(params, initial_rays)
+            fold5 = win = None
+        return result, (
+            params, initial_rays, result.records, result.record_mask,
+            fold5, win,
+        )
 
     def trace_bwd(residuals, g: TraceResult):
-        params, initial_rays, records, masks = residuals
+        params, initial_rays, records, masks, fold5, win = residuals
         dtype = records.dtype
 
         def _cot(x, shape):
@@ -1047,7 +1574,7 @@ def build_fused_vjp_trace_fn(
             )
         )
         d_objtx, d_prim, d_glass, d_state0 = _bwd_pallas(
-            params, state0, d_records, d_fstate, records, masks
+            params, state0, d_records, d_fstate, records, masks, fold5, win
         )
 
         # chain through the outside-kernel pre-processing: obj_tx =

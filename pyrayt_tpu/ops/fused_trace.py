@@ -100,13 +100,18 @@ _FUSED_MAX_LEAVES = 32
 # wide-kernel leaf cap: scene tables (transforms 16 + prim params + ids)
 # live in SMEM as scalars; this bounds their footprint (~176 B/leaf)
 _FUSED_WIDE_MAX_LEAVES = 4096
-# the wide BACKWARD kernel's cap: its per-generation vjp program crashes
-# the Mosaic compile helper past ~300 leaves on this toolchain (silent
-# subprocess death, no diagnostic; 12x12 MLA = 289 leaves compiles and
-# runs, 16x16 = 513 does not — reproduced with single-copy dynamic chunk
-# sweeps AND with chunking disabled entirely, so the trigger is the
-# scene-table scale itself, not the loop structure).  Gradients of wider
-# scenes differentiate the XLA engine.
+# the MONOLITHIC wide backward kernel's cap: its per-generation vjp
+# program crashes the Mosaic compile helper past ~300 leaves on this
+# toolchain (silent subprocess death, no diagnostic; 12x12 MLA = 289
+# leaves compiles and runs, 16x16 = 513 does not — reproduced with
+# single-copy dynamic chunk sweeps AND with chunking disabled entirely,
+# so the trigger is the scene-table scale itself, not the loop
+# structure).  Past this cap gradients switch to the STAGED wide
+# backward (ops/fused_grad._run_bwd_staged): per-generation XLA tail
+# vjps + per-chunk Pallas tree sweeps whose scene tables are each
+# bounded by fused_grad._STAGED_CHUNK_LEAVES, so no single Mosaic
+# program ever sees the full table.  The staged path covers scenes up
+# to _FUSED_WIDE_MAX_LEAVES.
 _FUSED_WIDE_GRAD_MAX_LEAVES = 300
 
 
@@ -172,9 +177,11 @@ def pick_fused(
     if need_grad:
         from pyrayt_tpu.ops.fused_grad import bwd_block_rays
 
+        # wide gradients past the monolithic kernel's leaf cap run the
+        # STAGED backward (chunked scene tables), so any supports_fused_wide
+        # scene is differentiable on the fused path
         feasible = (
             feasible
-            and (narrow or spec.n_leaves <= _FUSED_WIDE_GRAD_MAX_LEAVES)
             and bwd_block_rays(config, itemsize, wide=not narrow) is not None
         )
     if use is True and not feasible:
@@ -194,7 +201,8 @@ def pow2_floor(r: int) -> int:
     return 1 << (int(r).bit_length() - 1)
 
 
-def fused_block_rays(config: TraceConfig, itemsize: int = 4, wide: bool = False):
+def fused_block_rays(config: TraceConfig, itemsize: int = 4, wide: bool = False,
+                     save_fold: bool = False):
     """Rays per block — the largest power-of-two (R x 128) tile whose VMEM
     working set fits the budget — or ``None`` when even the minimum tile
     overflows (huge generation_limit): callers must fall back to the XLA
@@ -202,9 +210,15 @@ def fused_block_rays(config: TraceConfig, itemsize: int = 4, wide: bool = False)
 
     Per-ray bytes: in/out state (2 x 13 rows), records (G x 15), masks (G),
     all double-buffered by the pipeline (x2), plus ~60 rows of loop-carry
-    and temporaries (the wide kernel's tree-axis fold carries ~40 more)."""
+    and temporaries (the wide kernel's tree-axis fold carries ~40 more).
+    ``save_fold`` (the staged wide backward's forward pass) adds the
+    per-generation fold outputs: 5 f32 rows + 1 int32 row per generation,
+    double-buffered."""
     g = config.generation_limit
-    per_ray = itemsize * (2 * (26 + 16 * g) + 60 + (40 if wide else 0))
+    per_ray = itemsize * (
+        2 * (26 + 16 * g) + 60 + (40 if wide else 0)
+        + (2 * 6 * g if save_fold else 0)
+    )
     r = _VMEM_BUDGET_BYTES // (per_ray * LANE)
     r = min(_MAX_R, (r // _SUBLANE) * _SUBLANE)
     if r < _SUBLANE:
@@ -1054,7 +1068,7 @@ def _wide_tail(spec: SceneSpec, config: TraceConfig, glass_view,
     )
 
 
-def _make_step_wide(spec: SceneSpec, config: TraceConfig):
+def _make_step_wide(spec: SceneSpec, config: TraceConfig, save_fold: bool = False):
     """The generation step for wide scenes (supports_fused_wide): same
     carry/record contract as :func:`_make_step`, composed as
     ``_wide_tail  ∘  _make_wide_fold`` — the nearest-hit search runs per
@@ -1067,27 +1081,39 @@ def _make_step_wide(spec: SceneSpec, config: TraceConfig):
 
     Reverse mode lives in ops/fused_grad.py's WIDE backward, which
     differentiates the same two pieces (jax.vjp of _wide_tail, then a
-    winner-masked per-tree vjp of _wide_tree_eval).
+    winner-masked per-tree vjp of _wide_tree_eval).  ``save_fold`` (the
+    STAGED wide backward's forward pass) additionally returns the fold
+    outputs the backward needs — ``(fold5, win)`` with fold5 =
+    [best_d, n_x, n_y, n_z, best_mat] rows and win the winning tree's
+    fold code — so the backward never recomputes the nearest-hit search.
     """
-    fold = _make_wide_fold(spec, config)
+    fold = _make_wide_fold(spec, config, want_win=save_fold)
 
     def step(objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref, carry):
         p3, v3 = carry[0], carry[1]
         p_rows = [p3[0], p3[1], p3[2]]
         v_rows = [v3[0], v3[1], v3[2]]
-        best_d, best_n, best_mat, best_pub = fold(
+        outs = fold(
             objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref, p_rows, v_rows
         )
-        return _wide_tail(
+        best_d, best_n, best_mat, best_pub = outs[:4]
+        tail = _wide_tail(
             spec, config, glass_ref, best_d, best_n, best_mat, best_pub, carry
         )
+        if not save_fold:
+            return tail
+        new_carry, record, mask_f = tail
+        fold5 = jnp.concatenate(
+            (best_d[None], best_n, best_mat[None])
+        )
+        return new_carry, record, mask_f, fold5, outs[4]
 
     return step
 
 
 def _make_kernel(
     spec: SceneSpec, config: TraceConfig, generations: int,
-    static_loop=False, wide: bool = False,
+    static_loop=False, wide: bool = False, save_fold: bool = False,
 ):
     """``static_loop`` selects the generation-loop driver:
 
@@ -1107,11 +1133,29 @@ def _make_kernel(
     """
     if wide:
         assert static_loop is False, "wide kernel: while_loop driver only"
-        wide_step = _make_step_wide(spec, config)
+        wide_step = _make_step_wide(spec, config, save_fold=save_fold)
 
         # the production while-loop driver (below) reads scene data only
         # through ``step(objtx_ref, prim_ref, glass_ref, carry)``; the wide
         # kernel closes the three extra SMEM refs into that signature
+        if save_fold:
+            def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
+                       slots_ref, ids_ref, aabb_ref,
+                       rec_ref, mask_ref, fstate_ref, fold_ref, win_ref):
+                def step(o_ref, p_ref, g_ref, carry):
+                    return wide_step(
+                        o_ref, p_ref, g_ref, slots_ref, ids_ref, aabb_ref, carry
+                    )
+
+                _run_while_kernel(
+                    step, generations,
+                    state_ref, objtx_ref, prim_ref, glass_ref,
+                    rec_ref, mask_ref, fstate_ref,
+                    fold_ref=fold_ref, win_ref=win_ref,
+                )
+
+            return kernel
+
         def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
                    slots_ref, ids_ref, aabb_ref, rec_ref, mask_ref, fstate_ref):
             def step(o_ref, p_ref, g_ref, carry):
@@ -1126,6 +1170,7 @@ def _make_kernel(
             )
 
         return kernel
+    assert not save_fold, "save_fold is a wide-kernel (staged backward) mode"
 
     step = _make_step(spec, config)
 
@@ -1221,10 +1266,16 @@ def _make_kernel(
 def _run_while_kernel(
     step, generations,
     state_ref, objtx_ref, prim_ref, glass_ref, rec_ref, mask_ref, fstate_ref,
+    fold_ref=None, win_ref=None,
 ):
     """The production generation-loop driver (early-exit while_loop),
     shared verbatim by the narrow and wide kernels — only ``step``
-    differs."""
+    differs.  With ``fold_ref``/``win_ref`` set (the staged wide
+    backward's forward), the step returns two extra per-generation
+    outputs — the fold payload rows and the winning tree's fold code —
+    stored alongside the records; never-ran generations keep win = -1
+    (no tree selected), which the backward's winner masks treat as
+    zero-contribution."""
     state = state_ref[:]
     carry0 = (
         state[0:3],   # positions xyz (w == 1 dropped)
@@ -1245,6 +1296,9 @@ def _run_while_kernel(
     if _ZERO_RECORDS:
         rec_ref[:] = jnp.zeros_like(rec_ref)
     mask_ref[:] = jnp.zeros_like(mask_ref)
+    if fold_ref is not None:
+        fold_ref[:] = jnp.zeros_like(fold_ref)
+        win_ref[:] = jnp.full(win_ref.shape, -1, win_ref.dtype)
 
     # the loop body steps UNROLL generations per iteration: the
     # scf.while carry/branch overhead is ~2x a generation's compute
@@ -1263,9 +1317,13 @@ def _run_while_kernel(
         g = loop_carry[0]
         carry = loop_carry[1:]
         for k in range(unroll):
-            carry, record, mask_f = step(objtx_ref, prim_ref, glass_ref, carry)
+            outs = step(objtx_ref, prim_ref, glass_ref, carry)
+            carry, record, mask_f = outs[:3]
             rec_ref[pl.ds(g + k, 1)] = record[None]
             mask_ref[pl.ds(g + k, 1)] = mask_f[None]
+            if fold_ref is not None:
+                fold_ref[pl.ds(g + k, 1)] = outs[3][None]
+                win_ref[pl.ds(g + k, 1)] = outs[4][None]
         return (g + unroll,) + carry
 
     final = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),) + carry0)
@@ -1284,7 +1342,7 @@ def _run_while_kernel(
 @lru_cache(maxsize=64)
 def build_fused_trace_fn(
     spec: SceneSpec, materials, config: TraceConfig, interpret: bool = False,
-    static_loop: bool = False,
+    static_loop: bool = False, save_fold: bool = False,
 ):
     """Build the fused-kernel trace: ``fn(params, rays) -> TraceResult``.
 
@@ -1298,6 +1356,12 @@ def build_fused_trace_fn(
     Scenes past the unrolled kernel's leaf cap compile the WIDE variant
     (supports_fused_wide): the same driver around the tree-axis-looping
     step, with two extra SMEM scene tables.
+
+    ``save_fold`` (wide only — the STAGED backward's forward pass) makes
+    the trace return ``(TraceResult, fold5 (G, 5, n), win (G, n) int32)``
+    — the per-generation fold payload [best_d, n_x, n_y, n_z, best_mat]
+    and the winning tree's fold code, so the backward pass never
+    recomputes the nearest-hit search (ops/fused_grad._run_bwd_staged).
     """
     from pyrayt_tpu.tracer.engine import N_RECORD_COLS, TraceResult
     from pyrayt_tpu.tracer.rayset import RaySet
@@ -1308,19 +1372,26 @@ def build_fused_trace_fn(
             "scene has non-packed materials or no batchable tree groups; "
             "use the XLA engine"
         )
+    if save_fold and not wide:
+        raise ValueError("save_fold is a wide-kernel (staged backward) mode")
     if wide:
         import numpy as _np
 
         ids_const = _np.asarray(spec.leaf_ids, _np.float64)
 
     generations = config.generation_limit
-    kernel = _make_kernel(spec, config, generations, static_loop=static_loop, wide=wide)
+    kernel = _make_kernel(
+        spec, config, generations, static_loop=static_loop, wide=wide,
+        save_fold=save_fold,
+    )
 
     @jax.jit
     def trace(params, initial_rays: RaySet) -> TraceResult:
         n = initial_rays.n_rays
         dtype = initial_rays.positions.dtype
-        r_rows = fused_block_rays(config, jnp.dtype(dtype).itemsize, wide=wide)
+        r_rows = fused_block_rays(
+            config, jnp.dtype(dtype).itemsize, wide=wide, save_fold=save_fold
+        )
         if r_rows is None:
             raise ValueError(
                 "generation_limit too large for the fused kernel's VMEM "
@@ -1378,14 +1449,32 @@ def build_fused_trace_fn(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ]
-        records, masks, fstate = pl.pallas_call(
-            kernel,
-            grid=(n_pad // block,),
-            scratch_shapes=scratch_shapes,
-            in_specs=in_specs,
-            out_specs=(
+        out_specs = [
+            pl.BlockSpec(
+                (generations, N_RECORD_COLS, r_rows, LANE),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (generations, r_rows, LANE),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (generations, N_RECORD_COLS, n_pad // LANE, LANE), dtype
+            ),
+            jax.ShapeDtypeStruct((generations, n_pad // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((13, n_pad // LANE, LANE), dtype),
+        ]
+        if save_fold:
+            out_specs += [
                 pl.BlockSpec(
-                    (generations, N_RECORD_COLS, r_rows, LANE),
+                    (generations, 5, r_rows, LANE),
                     lambda i: (0, 0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -1394,19 +1483,25 @@ def build_fused_trace_fn(
                     lambda i: (0, i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (13, r_rows, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-            ),
-            out_shape=(
+            ]
+            out_shape += [
                 jax.ShapeDtypeStruct(
-                    (generations, N_RECORD_COLS, n_pad // LANE, LANE), dtype
+                    (generations, 5, n_pad // LANE, LANE), dtype
                 ),
-                jax.ShapeDtypeStruct((generations, n_pad // LANE, LANE), dtype),
-                jax.ShapeDtypeStruct((13, n_pad // LANE, LANE), dtype),
-            ),
+                jax.ShapeDtypeStruct(
+                    (generations, n_pad // LANE, LANE), jnp.int32
+                ),
+            ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_pad // block,),
+            scratch_shapes=scratch_shapes,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
         )(*inputs)
+        records, masks, fstate = outs[:3]
 
         records = records.reshape(generations, N_RECORD_COLS, n_pad)[:, :, :n]
         masks = masks.reshape(generations, n_pad)[:, :n] > 0.5
@@ -1420,11 +1515,16 @@ def build_fused_trace_fn(
             index=fstate[11, :n],
             id=fstate[12, :n],
         )
-        return TraceResult(
+        result = TraceResult(
             records=records,
             record_mask=masks,
             final_rays=final_rays,
             generations_run=jnp.sum(jnp.any(masks, axis=1)),
         )
+        if not save_fold:
+            return result
+        fold5 = outs[3].reshape(generations, 5, n_pad)[:, :, :n]
+        win = outs[4].reshape(generations, n_pad)[:, :n]
+        return result, fold5, win
 
     return trace

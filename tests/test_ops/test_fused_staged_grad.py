@@ -1,0 +1,174 @@
+"""STAGED wide backward gradient parity (interpret mode, f64).
+
+The staged backward (ops/fused_grad._run_bwd_staged) is the wide
+gradient path for scenes past the monolithic wide kernel's Mosaic
+compile cap (fused_trace._FUSED_WIDE_GRAD_MAX_LEAVES): the forward
+saves its fold outputs, the tail vjp runs in XLA, and the fold backward
+fans out over per-chunk Pallas kernels whose scene tables are each
+bounded by fused_grad._STAGED_CHUNK_LEAVES.  These tests pin it against
+jax.grad of the XLA engine at f64, for both custom_vjp contracts, at a
+small scene (forced staged) and at one past the monolithic cap
+(auto-staged), including per-lenslet (per-tree) parameter cotangents.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyrayt_tpu as pyrayt
+from pyrayt_tpu import components as comp
+from pyrayt_tpu.analysis.metrics import RmsSpotRadius
+from pyrayt_tpu.config import TraceConfig
+from pyrayt_tpu.ops import fused_grad, fused_trace as ft
+from pyrayt_tpu.scene.compile import compile_scene
+from pyrayt_tpu.scene.objects import fresh_ids
+from pyrayt_tpu.tracer import engine
+
+RTOL = 1e-8
+ATOL = 1e-12
+
+
+def _scene(n, n_rays=256, r=2.0):
+    with fresh_ids():
+        lenslets = comp.microlens_array(r, 0.25, n, n, 1.0)
+        focus = pyrayt.lensmakers_equation(2.0, np.inf, 1.5, 0.25)
+        detector = comp.baffle((2.0 * n, 2.0 * n)).move_x(focus)
+        det_id = float(detector.get_id())
+        scene = compile_scene(lenslets + [detector])
+    src = comp.GridOfRays(n * 0.9, n * 0.9).move_x(-1.0)
+    rays = src.generate_rays(n_rays)
+    rays = rays.replace(id=jnp.arange(n_rays, dtype=rays.positions.dtype))
+    return scene, rays, det_id
+
+
+def _assert_grads_close(got, want):
+    for k in ("world", "prim", "glass"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=RTOL, atol=ATOL,
+            err_msg=k,
+        )
+
+
+@pytest.fixture(scope="module")
+def mla5():
+    scene, rays, det_id = _scene(5)
+    assert ft.supports_fused_wide(scene.spec)
+    config = TraceConfig(
+        generation_limit=4, fixed_loop=True, wide_grad="staged"
+    )
+    return scene, rays, det_id, config
+
+
+@pytest.fixture(scope="module")
+def xla_reference(mla5):
+    scene, rays, det_id, config = mla5
+    loss = RmsSpotRadius(surface_id=det_id)
+    xla_fn = engine.build_trace_fn(
+        scene.spec, scene.materials,
+        TraceConfig(generation_limit=4, fixed_loop=True),
+    )
+    val, (dp, dr) = jax.value_and_grad(
+        lambda p, r: loss(xla_fn(p, r)), argnums=(0, 1)
+    )(scene.params, rays)
+    return loss, val, dp, dr
+
+
+def test_staged_loss_fused_matches_xla_grad(mla5, xla_reference):
+    scene, rays, det_id, config = mla5
+    loss, ref_val, ref_dp, ref_dr = xla_reference
+    vg = fused_grad.build_fused_value_and_grad_fn(
+        scene.spec, scene.materials, config, loss, interpret=True
+    )
+    val, (dp, dr) = jax.value_and_grad(vg, argnums=(0, 1))(scene.params, rays)
+    assert float(val) == pytest.approx(float(ref_val), rel=1e-12)
+    _assert_grads_close(dp, ref_dp)
+    np.testing.assert_allclose(
+        np.asarray(dr.positions[:3]), np.asarray(ref_dr.positions[:3]),
+        rtol=RTOL, atol=ATOL,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dr.directions[:3]), np.asarray(ref_dr.directions[:3]),
+        rtol=RTOL, atol=ATOL,
+    )
+
+
+def test_staged_generic_vjp_matches_xla_grad(mla5, xla_reference):
+    scene, rays, det_id, config = mla5
+    loss, ref_val, ref_dp, ref_dr = xla_reference
+    fn = fused_grad.build_fused_vjp_trace_fn(
+        scene.spec, scene.materials, config, interpret=True
+    )
+    val, (dp, dr) = jax.value_and_grad(
+        lambda p, r: loss(fn(p, r)), argnums=(0, 1)
+    )(scene.params, rays)
+    assert float(val) == pytest.approx(float(ref_val), rel=1e-12)
+    _assert_grads_close(dp, ref_dp)
+    np.testing.assert_allclose(
+        np.asarray(dr.positions[:3]), np.asarray(ref_dr.positions[:3]),
+        rtol=RTOL, atol=ATOL,
+    )
+
+
+def test_staged_past_monolithic_cap_auto():
+    """A 13x13 MLA (339 leaves) exceeds the monolithic kernel's cap;
+    auto mode must route to staged and match jax.grad of the XLA engine
+    — the capability the round-4 build could not provide at all."""
+    scene, rays, det_id = _scene(13)
+    assert scene.spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
+    config = TraceConfig(generation_limit=4, fixed_loop=True)
+    assert fused_grad.wide_grad_mode(scene.spec, config) == "staged"
+    loss = RmsSpotRadius(surface_id=det_id)
+    xla_fn = engine.build_trace_fn(scene.spec, scene.materials, config)
+    ref_val, ref_dp = jax.value_and_grad(lambda p: loss(xla_fn(p, rays)))(
+        scene.params
+    )
+    vg = fused_grad.build_fused_value_and_grad_fn(
+        scene.spec, scene.materials, config, loss, interpret=True
+    )
+    val, dp = jax.value_and_grad(lambda p: vg(p, rays))(scene.params)
+    assert float(val) == pytest.approx(float(ref_val), rel=1e-12)
+    _assert_grads_close(dp, ref_dp)
+
+
+def test_staged_per_lenslet_radii_grads():
+    """Independent per-lenslet radii: the staged backward's per-tree
+    cotangent accumulation must resolve each lenslet's own gradient
+    (the freeform-array design workload), pinned against the XLA engine
+    at f64 through build_objective."""
+    from pyrayt_tpu.analysis import build_objective
+    from pyrayt_tpu.analysis.metrics import rms_spot_radius
+
+    n = 4
+    rng = np.random.default_rng(7)
+    radii0 = jnp.asarray(2.0 + 0.2 * rng.standard_normal(n * n))
+
+    def build(radii):
+        lenslets = comp.microlens_array(radii, 0.25, n, n, 1.0)
+        detector = comp.baffle((2.0 * n, 2.0 * n)).move_x(4.0)
+        return lenslets + [detector]
+
+    with fresh_ids():
+        det_id = float(build(radii0)[-1].get_id())
+
+    src = comp.GridOfRays(n * 0.9, n * 0.9).move_x(-1.0)
+    rays = src.generate_rays(256)
+    loss = RmsSpotRadius(surface_id=det_id)
+
+    obj_staged = build_objective(
+        build, rays, loss,
+        TraceConfig(generation_limit=4, fixed_loop=True, wide_grad="staged"),
+    )
+    obj_xla = build_objective(
+        build, rays, loss,
+        TraceConfig(generation_limit=4, fixed_loop=True, use_fused=False),
+    )
+    v_staged, g_staged = jax.value_and_grad(obj_staged)(radii0)
+    v_xla, g_xla = jax.value_and_grad(obj_xla)(radii0)
+    assert float(v_staged) == pytest.approx(float(v_xla), rel=1e-12)
+    # per-lenslet gradients: all 16 independent entries agree
+    np.testing.assert_allclose(
+        np.asarray(g_staged), np.asarray(g_xla), rtol=RTOL, atol=ATOL
+    )
+    # and they are genuinely per-lenslet (not one broadcast value)
+    assert np.std(np.asarray(g_xla)) > 0

@@ -125,18 +125,22 @@ def test_wide_grad_dispatch_enabled():
     )
 
 
-def test_wide_grad_leaf_cap():
-    """Past the backward's leaf cap (Mosaic compile-helper crash boundary,
-    see fused_trace._FUSED_WIDE_GRAD_MAX_LEAVES) gradients fall back to
-    the XLA engine; the forward wide kernel is unaffected."""
+def test_wide_grad_leaf_cap_routes_to_staged():
+    """Past the MONOLITHIC backward's leaf cap (Mosaic compile-helper
+    crash boundary, fused_trace._FUSED_WIDE_GRAD_MAX_LEAVES) gradients
+    now route to the STAGED backward (fused_grad._run_bwd_staged) instead
+    of falling back to the XLA engine; forcing the monolithic kernel past
+    its cap raises."""
     scene, rays, det_id = _scene(16)  # 513 leaves
     assert scene.spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
     assert ft.supports_fused_wide(scene.spec)
-    assert not ft.pick_fused(scene.spec, TraceConfig(), need_grad=True)
+    assert fused_grad.wide_grad_mode(scene.spec, TraceConfig()) == "staged"
+    assert ft.pick_fused(
+        scene.spec, TraceConfig(use_fused=True), need_grad=True
+    )
     with pytest.raises(ValueError):
-        fused_grad.build_fused_vjp_trace_fn(
-            scene.spec, scene.materials, TraceConfig(generation_limit=4),
-            interpret=True,
+        fused_grad.wide_grad_mode(
+            scene.spec, TraceConfig(wide_grad="fused")
         )
 
 
