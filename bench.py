@@ -200,6 +200,17 @@ def main():
         except Exception as exc:  # pragma: no cover - defensive
             hostedge_fields = {"frame_error": f"{type(exc).__name__}: {exc}"}
 
+    # wide-scene headline (VERDICT round 4, next #6): the 16x16 microlens
+    # array (513 leaves) — fused wide forward AND the staged wide gradient
+    # — so the driver artifact carries the array story, not just design
+    # notes.  Guarded like the gradient fields.
+    wide_fields = {}
+    if os.environ.get("PYRAYT_BENCH_SKIP_WIDE", "0") != "1":
+        try:
+            wide_fields = _measure_wide_fields()
+        except Exception as exc:  # pragma: no cover - defensive
+            wide_fields = {"wide_error": f"{type(exc).__name__}: {exc}"}
+
     baseline = measure_reference_baseline()
     if baseline == baseline:  # not NaN
         vs = rays_per_second / baseline
@@ -223,9 +234,98 @@ def main():
                 "generation_limit": GENERATIONS,
                 **gradient_fields,
                 **hostedge_fields,
+                **wide_fields,
             }
         )
     )
+
+
+def _measure_wide_fields(n: int = 16, chain_fwd: int = 4, chain_grad: int = 2):
+    """Compact wide-scene fields for the default artifact: the 16x16 MLA
+    (513 leaves) through the WIDE fused forward kernel and the STAGED wide
+    backward — the scene size the monolithic backward's compile cap
+    excluded until round 5.  Full sweeps live in ``--wide``."""
+    import numpy as np
+
+    import pyrayt_tpu as pyrayt
+    from pyrayt_tpu import components as comp
+    from pyrayt_tpu.analysis.metrics import RmsSpotRadius
+    from pyrayt_tpu.config import TraceConfig
+    from pyrayt_tpu.ops import fused_grad, fused_trace as ft
+    from pyrayt_tpu.scene.compile import compile_scene
+    from pyrayt_tpu.scene.objects import fresh_ids
+
+    config = TraceConfig(generation_limit=4, fixed_loop=True)
+    with fresh_ids():
+        lenslets = comp.microlens_array(2.0, 0.25, n, n, 1.0)
+        focus = pyrayt.lensmakers_equation(2.0, np.inf, 1.5, 0.25)
+        detector = comp.baffle((2.0 * n, 2.0 * n)).move_x(focus)
+        det_id = float(detector.get_id())
+        scene = compile_scene(lenslets + [detector])
+    src = comp.GridOfRays(n * 0.95, n * 0.95).move_x(-1.0)
+    rays = src.generate_rays(N_RAYS)
+    rays = rays.replace(id=jnp.arange(N_RAYS, dtype=rays.positions.dtype))
+    interpret = not ft.on_tpu()
+
+    out = {"wide_n_leaves": scene.spec.n_leaves}
+
+    # forward: fused wide kernel
+    fwd = ft.build_fused_trace_fn(
+        scene.spec, scene.materials, config, interpret=interpret
+    )
+
+    @jax.jit
+    def chained_f(params, rays0):
+        def body(i, acc):
+            r = fwd(params, rays0.replace(positions=rays0.positions + i * 1e-30))
+            return acc + r.records[0, 0, 0] + r.final_rays.positions[0, 0]
+
+        return lax.fori_loop(
+            0, chain_fwd, body, jnp.asarray(0.0, rays0.positions.dtype)
+        )
+
+    jax.block_until_ready(chained_f(scene.params, rays))
+    best = float("inf")
+    for _ in range(max(2, REPEATS // 2)):
+        t0 = time.perf_counter()
+        float(np.asarray(chained_f(scene.params, rays)))
+        best = min(best, time.perf_counter() - t0)
+    t_f = best / chain_fwd
+    out["wide_device_ms_per_trace"] = round(t_f * 1e3, 2)
+    out["wide_rays_per_second"] = round(N_RAYS / t_f)
+
+    # gradient: STAGED wide backward (513 leaves > the monolithic cap)
+    loss = RmsSpotRadius(surface_id=det_id)
+    vg = fused_grad.build_fused_value_and_grad_fn(
+        scene.spec, scene.materials, config, loss, interpret=interpret
+    )
+    grad_fn = jax.jit(jax.value_and_grad(vg))
+
+    @jax.jit
+    def chained_g(params, rays0):
+        def body(i, acc):
+            v, g = grad_fn(
+                params, rays0.replace(positions=rays0.positions + i * 1e-30)
+            )
+            return acc + v + g["prim"][0, 0]
+
+        return lax.fori_loop(
+            0, chain_grad, body, jnp.asarray(0.0, rays0.positions.dtype)
+        )
+
+    jax.block_until_ready(chained_g(scene.params, rays))
+    best = float("inf")
+    for _ in range(max(2, REPEATS // 2)):
+        t0 = time.perf_counter()
+        float(np.asarray(chained_g(scene.params, rays)))
+        best = min(best, time.perf_counter() - t0)
+    t_g = best / chain_grad
+    out["wide_gradient_device_ms_per_step"] = round(t_g * 1e3, 2)
+    out["wide_gradient_rays_per_second"] = round(N_RAYS / t_g)
+    out["wide_gradient_engine"] = (
+        f"fused-pallas-{fused_grad.wide_grad_mode(scene.spec, config)}"
+    )
+    return out
 
 
 def _measure_hostedge_fields(fn, params, rays):
@@ -752,8 +852,19 @@ def gradcheck_main():
 
     worst = max(c["rel_err"] for c in checks)
     BOUND = 0.05  # f32 full-trace FD noise floor; documented loose
+    platform = jax.devices()[0].platform
+    # round-4 lesson: the committed "on-device" artifact had silently run
+    # on CPU (a script import re-applied JAX_PLATFORMS).  The campaign
+    # sets this env so a CPU capture fails loudly instead of lying.
+    if os.environ.get("PYRAYT_BENCH_REQUIRE_ACCELERATOR") == "1" and (
+        platform == "cpu"
+    ):
+        raise SystemExit(
+            "gradcheck: PYRAYT_BENCH_REQUIRE_ACCELERATOR=1 but the attached "
+            "platform is cpu — refusing to write a misleading artifact"
+        )
     artifact = {
-        "platform": jax.devices()[0].platform,
+        "platform": platform,
         "dtype": "float32",
         "eps": EPS,
         "bound": BOUND,
@@ -952,25 +1063,82 @@ def wide_main():
             "speedup": round(t_x / t_f, 2),
             "max_masked_record_diff": diff,
         }
-    # wide gradient: differentiable lens-array design (8x8 = 129 leaves,
-    # within the wide backward's leaf cap; design notes "Wide gradients")
+    # heterogeneous wide scene (VERDICT r4 missing #2): 20 DISTINCT
+    # biconvex elements (random radii/thickness/aperture, three glasses)
+    # + detector = 61 leaves, batched as ONE shape-only group since round
+    # 5 (engine._tree_sig).  Measures compile time and ms/trace for the
+    # XLA engine vs the wide fused kernel on a scene where round 4 had
+    # only per-leaf unrolling.
     try:
-        from pyrayt_tpu.analysis.metrics import RmsSpotRadius
-        from pyrayt_tpu.ops import fused_grad
-        from pyrayt_tpu.scene.objects import fresh_ids
+        from pyrayt_tpu import materials as matl
+        from pyrayt_tpu.scene.objects import fresh_ids as _fresh
 
+        glasses = [matl.glass["BK7"], matl.glass["SF5"], matl.glass["SF2"]]
+        rng = np.random.default_rng(0)
+        with _fresh():
+            els = []
+            for i in range(20):
+                r1 = 3.0 + 4.0 * rng.random()
+                r2 = -(3.0 + 4.0 * rng.random())
+                y = (i - 9.5) * 2.6
+                els.append(
+                    comp.thick_lens(
+                        r1, r2, 0.3 + 0.2 * rng.random(),
+                        aperture=1.5 + rng.random(), material=glasses[i % 3],
+                    ).move_y(y)
+                )
+            det = comp.baffle((52.0, 52.0)).move_x(6.0)
+            hscene = compile_scene(els + [det])
+        hsrc = comp.GridOfRays(20 * 2.6 * 0.95, 1.0).move_x(-1.5)
+        hrays = hsrc.generate_rays(N_RAYS)
+        hrays = hrays.replace(id=jnp.arange(N_RAYS, dtype=hrays.positions.dtype))
+        entry = {"leaves": hscene.spec.n_leaves, "distinct_elements": 20,
+                 "glass_slots": len(set(hscene.spec.leaf_mat_slot))}
+        assert ft.supports_fused_wide(hscene.spec)
+
+        t0 = time.perf_counter()
+        h_fused = ft.build_fused_trace_fn(
+            hscene.spec, hscene.materials, config, interpret=not ft.on_tpu()
+        )
+        jax.block_until_ready(h_fused(hscene.params, hrays).records)
+        entry["fused_compile_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        h_xla = engine.build_trace_fn(hscene.spec, hscene.materials, config)
+        jax.block_until_ready(h_xla(hscene.params, hrays).records)
+        entry["xla_compile_s"] = round(time.perf_counter() - t0, 1)
+        t_f = device_time(h_fused, hscene.params, hrays, 8)
+        t_x = device_time(h_xla, hscene.params, hrays, 4)
+        entry["fused_ms"] = round(t_f * 1e3, 2)
+        entry["xla_ms"] = round(t_x * 1e3, 2)
+        entry["speedup"] = round(t_x / t_f, 2)
+        out["hetero_20_distinct"] = entry
+    except Exception as exc:  # pragma: no cover - defensive
+        out["hetero_error"] = f"{type(exc).__name__}: {exc}"
+
+    # wide gradients: differentiable lens-array design — the monolithic
+    # wide backward vs the STAGED multi-dispatch backward at 8x8/12x12
+    # (both compile), and staged alone at 16x16 (past the monolithic
+    # kernel's compile cap; design notes "Wide gradients")
+    from pyrayt_tpu.analysis.metrics import RmsSpotRadius
+    from pyrayt_tpu.ops import fused_grad
+    from pyrayt_tpu.scene.objects import fresh_ids
+
+    def grad_time(n, mode, k=2):
         with fresh_ids():
-            lenslets = comp.microlens_array(2.0, 0.25, 8, 8, 1.0)
+            lenslets = comp.microlens_array(2.0, 0.25, n, n, 1.0)
             focus = pyrayt.lensmakers_equation(2.0, np.inf, 1.5, 0.25)
-            detector = comp.baffle((16.0, 16.0)).move_x(focus)
+            detector = comp.baffle((2.0 * n, 2.0 * n)).move_x(focus)
             det_id = float(detector.get_id())
             scene = compile_scene(lenslets + [detector])
-        src = comp.GridOfRays(8.4, 8.4).move_x(-1.0)
+        src = comp.GridOfRays(n * 1.05, n * 1.05).move_x(-1.0)
         rays = src.generate_rays(N_RAYS)
         rays = rays.replace(id=jnp.arange(N_RAYS, dtype=rays.positions.dtype))
         loss = RmsSpotRadius(surface_id=det_id)
+        gconfig = TraceConfig(
+            generation_limit=4, fixed_loop=True, wide_grad=mode
+        )
         vg = fused_grad.build_fused_value_and_grad_fn(
-            scene.spec, scene.materials, config, loss,
+            scene.spec, scene.materials, gconfig, loss,
             interpret=not ft.on_tpu(),
         )
         grad_fn = jax.jit(jax.value_and_grad(vg))
@@ -983,7 +1151,9 @@ def wide_main():
                 )
                 return acc + v + g["prim"][0, 0]
 
-            return lax.fori_loop(0, 4, body, jnp.asarray(0.0, rays0.positions.dtype))
+            return lax.fori_loop(
+                0, k, body, jnp.asarray(0.0, rays0.positions.dtype)
+            )
 
         jax.block_until_ready(chained_g(scene.params, rays))
         best = float("inf")
@@ -991,10 +1161,26 @@ def wide_main():
             t0 = time.perf_counter()
             float(np.asarray(chained_g(scene.params, rays)))
             best = min(best, time.perf_counter() - t0)
-        out["wide_gradient_ms_per_step_8x8"] = round(best / 4 * 1e3, 2)
-        out["wide_gradient_rays_per_second"] = round(N_RAYS / (best / 4))
-    except Exception as exc:  # pragma: no cover - defensive
-        out["wide_gradient_error"] = f"{type(exc).__name__}: {exc}"
+        return best / k
+
+    grad_cases = os.environ.get(
+        "PYRAYT_BENCH_WIDE_GRADS", "8:fused,8:staged,16:staged"
+    )
+    for case in grad_cases.split(","):
+        n_s, mode = case.strip().split(":")
+        n = int(n_s)
+        try:
+            t_g = grad_time(n, mode)
+            out[f"wide_gradient_ms_per_step_{n}x{n}_{mode}"] = round(
+                t_g * 1e3, 2
+            )
+            out[f"wide_gradient_rays_per_second_{n}x{n}_{mode}"] = round(
+                N_RAYS / t_g
+            )
+        except Exception as exc:  # pragma: no cover - defensive
+            out[f"wide_gradient_error_{n}x{n}_{mode}"] = (
+                f"{type(exc).__name__}: {exc}"
+            )
 
     last = [v for v in out.values() if isinstance(v, dict)]
     out["value"] = last[-1]["speedup"] if last else None

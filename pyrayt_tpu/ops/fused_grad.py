@@ -321,14 +321,14 @@ def _make_bwd_kernel_wide(spec: SceneSpec, config: TraceConfig, generations: int
 
     def kernel(*refs):
         if loss_drec is None:
-            (objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref,
+            (objtx_ref, prim_ref, glass_ref, slots_ref, meta_ref, aabb_ref,
              state0_ref, rec_ref, mask_ref,
              drec_ref, dfstate_ref,
              dobjtx_ref, dprim_ref, dglass_ref, dstate0_ref,
              ) = refs
             scal_ref = None
         else:
-            (objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref,
+            (objtx_ref, prim_ref, glass_ref, slots_ref, meta_ref, aabb_ref,
              state0_ref, rec_ref, mask_ref,
              scal_ref,
              dobjtx_ref, dprim_ref, dglass_ref, dstate0_ref,
@@ -374,14 +374,19 @@ def _make_bwd_kernel_wide(spec: SceneSpec, config: TraceConfig, generations: int
         s0 = state0_ref[:]
 
         def _acc_tree_cotangents(info, mats_j, prim_rows_j, tree_slots,
-                                 p_rows, v_rows, gd, gn):
+                                 p_rows, v_rows, gd, gn, scale_pos=None):
             """vjp of one tree's pure eval; accumulate into SMEM + return
-            the ray-state cotangent contribution (d_p3, d_v3)."""
+            the ray-state cotangent contribution (d_p3, d_v3).
+            ``scale_pos`` overrides the static per-position normal scales
+            for grouped trees (runtime meta-table reads — groups may mix
+            orientations)."""
+            if scale_pos is None:
+                scale_pos = info["scale_pos"]
 
             def evalf(mj, pj, pr, vr):
                 return ft._wide_tree_eval(
                     info["template"], info["fast"] if "fast" in info else True,
-                    info["types_pos"], info["scale_pos"], info["needs_pos"],
+                    info["types_pos"], scale_pos, info["needs_pos"],
                     mj, pj, pr, vr,
                 )
 
@@ -429,7 +434,7 @@ def _make_bwd_kernel_wide(spec: SceneSpec, config: TraceConfig, generations: int
 
             # forward fold recompute, with the winning tree's fold code
             best_d, best_n, best_mat, best_pub, win = fold_win(
-                objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref,
+                objtx_ref, prim_ref, slots_ref, meta_ref, aabb_ref,
                 p_rows, v_rows,
             )
 
@@ -476,9 +481,10 @@ def _make_bwd_kernel_wide(spec: SceneSpec, config: TraceConfig, generations: int
                     mats_j, prim_rows_j, tree_slots = ft._read_group_tables(
                         objtx_ref, prim_ref, slots_ref, info, t
                     )
+                    scale_j = [meta_ref[s, 2] for s in tree_slots]
                     g_p, g_v = _acc_tree_cotangents(
                         info, mats_j, prim_rows_j, tree_slots,
-                        p_rows, v_rows, gd, gn,
+                        p_rows, v_rows, gd, gn, scale_pos=scale_j,
                     )
                     return (ap + g_p, av + g_v)
 
@@ -613,12 +619,10 @@ def _run_bwd(
     ]
     in_specs = [smem, smem, smem]
     if wide:
-        import numpy as _np
-
         slots_arr, aabb_arr = ft._wide_runtime_tables(spec, params, dtype)
         inputs += [
             lax.stop_gradient(slots_arr),
-            jnp.asarray(_np.asarray(spec.leaf_ids, _np.float64), dtype),
+            jnp.asarray(ft._leaf_meta_table(spec), dtype),
             lax.stop_gradient(aabb_arr),
         ]
         in_specs += [smem, smem, smem]
@@ -748,19 +752,20 @@ def _staged_plan(spec: SceneSpec):
 
 @lru_cache(maxsize=256)
 def _make_staged_group_kernel(
-    template, fast, types_pos, scale_pos, needs_pos, n_trees, n_prim_cols,
+    template, fast, types_pos, needs_pos, n_trees, n_prim_cols,
 ):
     """One chunk's fold-backward kernel: winner-masked per-tree vjp of the
     pure tree eval over a chunk-local scene table.
 
     Refs: ``objtx_ref (n_trees*L, 16)`` / ``prim_ref (n_trees*L, P)``
     chunk tables in SMEM (row ``t*L + j`` = tree t's leaf j),
-    ``code_ref (2,)`` = [first tree's global fold code, one past the
-    group's real code range] (pads compare >= the hi bound and never
-    select), ``buf_ref (10, R, L)`` = [p3, v3, d_best_d, d_best_n] rows,
-    ``win_ref (R, L)`` int32 fold codes.  Outputs: per-row table
-    cotangents (SMEM, accumulated across the sequential ray grid) and
-    the (6, R, L) ray-state cotangent block [d_p3, d_v3].
+    ``scale_ref (n_trees*L,)`` per-row normal scales (runtime — groups
+    may mix orientations), ``code_ref (2,)`` = [first tree's global fold
+    code, one past the group's real code range] (pads compare >= the hi
+    bound and never select), ``buf_ref (10, R, L)`` = [p3, v3, d_best_d,
+    d_best_n] rows, ``win_ref (R, L)`` int32 fold codes.  Outputs:
+    per-row table cotangents (SMEM, accumulated across the sequential
+    ray grid) and the (6, R, L) ray-state cotangent block [d_p3, d_v3].
 
     lru_cached on the static signature so every same-shape chunk of a
     group — across chunks AND generations — reuses one kernel function,
@@ -769,7 +774,7 @@ def _make_staged_group_kernel(
     L = len(types_pos)
     nsub = -(-n_trees // _STAGED_SUBCHUNK_TREES)
 
-    def kernel(objtx_ref, prim_ref, code_ref, buf_ref, win_ref,
+    def kernel(objtx_ref, prim_ref, scale_ref, code_ref, buf_ref, win_ref,
                dobj_ref, dprim_ref, dpv_ref):
         dtype = buf_ref.dtype
         first = pl.program_id(0) == 0
@@ -806,6 +811,7 @@ def _make_staged_group_kernel(
                 [prim_ref[row0 + j, i] for i in range(n_prim_cols)]
                 for j in range(L)
             ]
+            scale_j = [scale_ref[row0 + j] for j in range(L)]
             code = lo + t
             sel = ((win == code) & (code < hi)).astype(dtype)
             gd = d_bd * sel
@@ -813,7 +819,7 @@ def _make_staged_group_kernel(
 
             def evalf(mj, pj, pr, vr):
                 return ft._wide_tree_eval(
-                    template, fast, types_pos, scale_pos, needs_pos,
+                    template, fast, types_pos, scale_j, needs_pos,
                     mj, pj, pr, vr,
                 )[0]
 
@@ -868,9 +874,9 @@ def _make_staged_singles_kernel(singles_infos, n_prim_cols):
         row_of.append(r)
         r += len(info["slots"])
 
-    def kernel(objtx_ref, prim_ref, code_ref, buf_ref, win_ref,
+    def kernel(objtx_ref, prim_ref, scale_ref, code_ref, buf_ref, win_ref,
                dobj_ref, dprim_ref, dpv_ref):
-        del code_ref
+        del scale_ref, code_ref  # singles keep their static per-tree values
         dtype = buf_ref.dtype
         first = pl.program_id(0) == 0
         n_rows = r
@@ -986,6 +992,7 @@ def _run_bwd_staged(
     # runtime slot vector (deterministic in params; non-differentiable)
     slots_arr, _ = ft._wide_runtime_tables(spec, params, dtype)
     slots_arr = lax.stop_gradient(slots_arr)
+    meta_arr = jnp.asarray(ft._leaf_meta_table(spec), dtype)
 
     singles_infos, group_chunks = _staged_plan(spec)
 
@@ -1007,7 +1014,7 @@ def _run_bwd_staged(
     for info, ct, nc in group_chunks:
         T, L, off = info["T"], info["L"], info["off"]
         kern = _make_staged_group_kernel(
-            info["template"], True, info["types_pos"], info["scale_pos"],
+            info["template"], True, info["types_pos"],
             info["needs_pos"], ct, n_prim_cols,
         )
         for k in range(nc):
@@ -1100,10 +1107,11 @@ def _run_bwd_staged(
         for kern, row_slots, code, n_rows in chunk_calls:
             tbl_o = obj_tx[row_slots]
             tbl_p = prim_p[row_slots]
+            tbl_s = meta_arr[row_slots, 2]
             d_obj_rows, d_prim_rows, dpv = pl.pallas_call(
                 kern,
                 grid=(n_pad // block,),
-                in_specs=[smem, smem, smem, vmem_buf, vmem_win],
+                in_specs=[smem, smem, smem, smem, vmem_buf, vmem_win],
                 out_specs=(smem, smem, vmem_dpv),
                 out_shape=(
                     jax.ShapeDtypeStruct((n_rows, 16), dtype),
@@ -1111,7 +1119,7 @@ def _run_bwd_staged(
                     jax.ShapeDtypeStruct((6, n_pad // ft.LANE, ft.LANE), dtype),
                 ),
                 interpret=interpret,
-            )(tbl_o, tbl_p, code, buf_t, win_t)
+            )(tbl_o, tbl_p, tbl_s, code, buf_t, win_t)
             # pads repeat real rows with exact-zero contributions; XLA
             # scatter-add sums duplicate indices
             d_obj_acc = d_obj_acc.at[row_slots].add(d_obj_rows)

@@ -685,6 +685,23 @@ def _wide_needs_normal(spec: SceneSpec, slot: int) -> bool:
     return spec.mat_kinds[spec.leaf_mat_slot[slot]] != matl.KIND_ABSORB
 
 
+def _leaf_meta_table(spec: SceneSpec):
+    """Static (S, 3) per-slot [public id, material slot, normal scale] —
+    the wide kernels' SMEM meta table.  Values ride as floats (all exactly
+    representable); being PER SLOT rather than per group position is what
+    lets shape-only groups mix materials and orientations."""
+    import numpy as np
+
+    return np.stack(
+        [
+            np.asarray(spec.leaf_ids, np.float64),
+            np.asarray(spec.leaf_mat_slot, np.float64),
+            np.asarray(spec.leaf_normal_scale, np.float64),
+        ],
+        axis=1,
+    )
+
+
 def _wide_tree_eval(
     template, fast, types_pos, scale_pos, needs_pos,
     mats_j, prim_rows_j, p_rows, v_rows,
@@ -819,7 +836,6 @@ def _wide_fold_plan(spec: SceneSpec):
             code += 1
         else:
             template, types_pos, slot_matrix = groups[idx]
-            slots0 = slot_matrix[0]
             info = dict(
                 template=template,
                 fast=True,
@@ -827,9 +843,19 @@ def _wide_fold_plan(spec: SceneSpec):
                 L=len(types_pos),
                 off=offsets[idx],
                 types_pos=types_pos,
-                scale_pos=tuple(spec.leaf_normal_scale[s] for s in slots0),
-                needs_pos=tuple(_wide_needs_normal(spec, s) for s in slots0),
-                mat_pos=tuple(spec.leaf_mat_slot[s] for s in slots0),
+                # groups may be HETEROGENEOUS (mixed materials / normal
+                # scales — engine._tree_sig groups by shape only): scale,
+                # material slot and public id are read per tree from the
+                # runtime meta table (meta_ref) in the kernels; the only
+                # static per-position property is the conservative
+                # needs-normal OR over the group's members
+                needs_pos=tuple(
+                    any(
+                        _wide_needs_normal(spec, row[j])
+                        for row in slot_matrix
+                    )
+                    for j in range(len(types_pos))
+                ),
                 chunk_off=chunk_offsets[idx],
                 n_chunks=n_chunks[idx],
                 code_base=code,
@@ -862,24 +888,28 @@ def _read_group_tables(objtx_ref, prim_ref, slots_ref, info, t):
 def _make_wide_fold(spec: SceneSpec, config: TraceConfig, want_win: bool = False,
                     dynamic_chunks: bool = False):
     """The wide nearest-hit fold: ``fold(objtx_ref, prim_ref, slots_ref,
-    ids_ref, aabb_ref, p_rows, v_rows) -> (best_d, best_n, best_mat,
+    meta_ref, aabb_ref, p_rows, v_rows) -> (best_d, best_n, best_mat,
     best_pub[, win_code])``.
 
     Ungrouped singles unroll; each same-shape group loops its tree axis
     with a ``lax.fori_loop`` reading that tree's scalars from
-    dynamically-indexed SMEM, under the supercell AABB skip.  Tie-breaking
-    matches the XLA engine's wide path: strict ``<`` in component order /
-    ascending tree index.  ``want_win=True`` additionally tracks the
-    winning tree's fold code (the backward kernel's winner mask).
-    ``dynamic_chunks=True`` runs the chunk sweep as one more fori_loop
-    (traced AABB reads / inner bounds) so the program holds a single copy
-    of the tree body — the backward kernel needs this to stay within the
-    Mosaic compiler's capacity at hundreds of leaves; the forward keeps
-    the unrolled sweep (measured equal speed, simpler addressing).
+    dynamically-indexed SMEM, under the supercell AABB skip.
+    ``meta_ref`` is the (S, 3) per-slot [public id, material slot, normal
+    scale] table — runtime data, so groups may mix materials and surface
+    orientations (heterogeneous zoom assemblies, not just uniform lens
+    arrays).  Tie-breaking matches the XLA engine's wide path: strict
+    ``<`` in component order / ascending tree index.  ``want_win=True``
+    additionally tracks the winning tree's fold code (the backward
+    kernel's winner mask).  ``dynamic_chunks=True`` runs the chunk sweep
+    as one more fori_loop (traced AABB reads / inner bounds) so the
+    program holds a single copy of the tree body — the backward kernel
+    needs this to stay within the Mosaic compiler's capacity at hundreds
+    of leaves; the forward keeps the unrolled sweep (measured equal
+    speed, simpler addressing).
     """
     plan = _wide_fold_plan(spec)
 
-    def fold(objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref, p_rows, v_rows):
+    def fold(objtx_ref, prim_ref, slots_ref, meta_ref, aabb_ref, p_rows, v_rows):
         shape = p_rows[0].shape
         dtype = p_rows[0].dtype
 
@@ -928,19 +958,18 @@ def _make_wide_fold(spec: SceneSpec, config: TraceConfig, want_win: bool = False
                 mats_j, prim_rows_j, tree_slots = _read_group_tables(
                     objtx_ref, prim_ref, slots_ref, info, t
                 )
+                scale_j = [meta_ref[s, 2] for s in tree_slots]
                 (d_t, n3_t), pos_t = _wide_tree_eval(
                     info["template"], True, info["types_pos"],
-                    info["scale_pos"], info["needs_pos"],
+                    scale_j, info["needs_pos"],
                     mats_j, prim_rows_j, p_rows, v_rows,
                 )
                 mat_t = jnp.zeros(shape, dtype)
                 pub_t = jnp.zeros(shape, dtype)
                 for j in range(info["L"]):
                     sel = pos_t == j
-                    mat_t = jnp.where(
-                        sel, jnp.asarray(info["mat_pos"][j], dtype), mat_t
-                    )
-                    pub_t = jnp.where(sel, ids_ref[tree_slots[j]], pub_t)
+                    mat_t = jnp.where(sel, meta_ref[tree_slots[j], 1], mat_t)
+                    pub_t = jnp.where(sel, meta_ref[tree_slots[j], 0], pub_t)
                 # ascending-t strict-< fold: lowest tree index wins ties,
                 # matching engine._reduce_tree_axis's argmin
                 return folded(
@@ -1089,12 +1118,12 @@ def _make_step_wide(spec: SceneSpec, config: TraceConfig, save_fold: bool = Fals
     """
     fold = _make_wide_fold(spec, config, want_win=save_fold)
 
-    def step(objtx_ref, prim_ref, glass_ref, slots_ref, ids_ref, aabb_ref, carry):
+    def step(objtx_ref, prim_ref, glass_ref, slots_ref, meta_ref, aabb_ref, carry):
         p3, v3 = carry[0], carry[1]
         p_rows = [p3[0], p3[1], p3[2]]
         v_rows = [v3[0], v3[1], v3[2]]
         outs = fold(
-            objtx_ref, prim_ref, slots_ref, ids_ref, aabb_ref, p_rows, v_rows
+            objtx_ref, prim_ref, slots_ref, meta_ref, aabb_ref, p_rows, v_rows
         )
         best_d, best_n, best_mat, best_pub = outs[:4]
         tail = _wide_tail(
@@ -1140,11 +1169,11 @@ def _make_kernel(
         # kernel closes the three extra SMEM refs into that signature
         if save_fold:
             def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
-                       slots_ref, ids_ref, aabb_ref,
+                       slots_ref, meta_ref, aabb_ref,
                        rec_ref, mask_ref, fstate_ref, fold_ref, win_ref):
                 def step(o_ref, p_ref, g_ref, carry):
                     return wide_step(
-                        o_ref, p_ref, g_ref, slots_ref, ids_ref, aabb_ref, carry
+                        o_ref, p_ref, g_ref, slots_ref, meta_ref, aabb_ref, carry
                     )
 
                 _run_while_kernel(
@@ -1157,10 +1186,10 @@ def _make_kernel(
             return kernel
 
         def kernel(state_ref, objtx_ref, prim_ref, glass_ref,
-                   slots_ref, ids_ref, aabb_ref, rec_ref, mask_ref, fstate_ref):
+                   slots_ref, meta_ref, aabb_ref, rec_ref, mask_ref, fstate_ref):
             def step(o_ref, p_ref, g_ref, carry):
                 return wide_step(
-                    o_ref, p_ref, g_ref, slots_ref, ids_ref, aabb_ref, carry
+                    o_ref, p_ref, g_ref, slots_ref, meta_ref, aabb_ref, carry
                 )
 
             _run_while_kernel(
@@ -1375,9 +1404,7 @@ def build_fused_trace_fn(
     if save_fold and not wide:
         raise ValueError("save_fold is a wide-kernel (staged backward) mode")
     if wide:
-        import numpy as _np
-
-        ids_const = _np.asarray(spec.leaf_ids, _np.float64)
+        meta_const = _leaf_meta_table(spec)
 
     generations = config.generation_limit
     kernel = _make_kernel(
@@ -1443,7 +1470,7 @@ def build_fused_trace_fn(
             # (they depend on params); the kernel structure is static, so
             # moving a lenslet never recompiles
             slots_arr, aabb_arr = _wide_runtime_tables(spec, params, dtype)
-            inputs += [slots_arr, jnp.asarray(ids_const, dtype), aabb_arr]
+            inputs += [slots_arr, jnp.asarray(meta_const, dtype), aabb_arr]
             in_specs += [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -138,16 +138,17 @@ def _tree_template(tree):
 
 
 def _tree_sig(spec: SceneSpec, tree):
-    """Shape signature: trees with equal signatures differ only in their
-    transforms and primitive parameter values -> batchable."""
+    """Shape signature: trees with equal signatures share CSG structure and
+    primitive types -> batchable.  Materials, normal scales, public ids,
+    transforms and parameter values may all differ per tree: the engine's
+    INTERACT resolves them by gathered per-leaf table, and the fused wide
+    kernel reads them from a runtime per-slot meta table — so a
+    HETEROGENEOUS group (a zoom lens of distinct elements, mixed glasses)
+    batches exactly like a microlens array (round-5 extension; signatures
+    included mat_slot/normal_scale through round 4)."""
     if tree[0] == LEAF:
         s = tree[1]
-        return (
-            LEAF,
-            spec.leaf_types[s],
-            spec.leaf_mat_slot[s],
-            spec.leaf_normal_scale[s],
-        )
+        return (LEAF, spec.leaf_types[s])
     return (tree[0], _tree_sig(spec, tree[1]), _tree_sig(spec, tree[2]))
 
 

@@ -86,11 +86,13 @@ def test_wide_kernel_mixed_group_and_csg_singles():
     _assert_matches_xla(comps, _rays(512, 4.2, x=-2.0), TraceConfig(generation_limit=5))
 
 
-def test_wide_kernel_two_groups():
-    """Two lenslet arrays of different glass -> two batched groups (the
-    material slot is part of the shape signature); with the same glass they
-    would merge into ONE group batched across different radii/thickness —
-    only parameter VALUES vary within a group."""
+def test_wide_kernel_heterogeneous_group_merges():
+    """Two lenslet arrays of DIFFERENT glass merge into ONE batched group:
+    since round 5 the shape signature excludes materials/normal scales
+    (engine._tree_sig) — the kernel reads them per tree from the runtime
+    meta table — so heterogeneous assemblies (mixed glasses, radii,
+    thicknesses) batch exactly like uniform arrays.  Bit-parity with the
+    XLA engine across the material boundary is the point of this test."""
     a = comp.microlens_array(2.0, 0.25, 3, 3, 1.0)
     b = [
         lens.move_x(0.8)
@@ -99,10 +101,11 @@ def test_wide_kernel_two_groups():
         )
     ]
     detector = comp.baffle((8.0, 8.0)).move_x(6.0)
-    comps = a + b + [detector]  # 9 + 9 trees x 2 leaves + 1 = 37 leaves
+    comps = a + b + [detector]  # (9 + 9) trees x 2 leaves + 1 = 37 leaves
     scene = compile_scene(comps)
     order, groups = engine._wide_plan(scene.spec)
-    assert len(groups) == 2
+    assert len(groups) == 1
+    assert len(groups[0][2]) == 18  # one 18-tree mixed-material group
     _assert_matches_xla(comps, _rays(512, 3.2, x=-1.0), TraceConfig(generation_limit=4))
 
 
