@@ -861,6 +861,107 @@ def _make_staged_group_kernel(
     return kernel
 
 
+@lru_cache(maxsize=64)
+def _make_staged_tail_kernel(
+    spec: SceneSpec, config: TraceConfig, is0: bool, n_glass_rows: int,
+    loss_key=None, loss_drec=None, generic: bool = False,
+):
+    """One generation's TAIL vjp as a Pallas kernel (scene-geometry-free).
+
+    The first staged implementation ran the tail vjp + carry
+    reconstruction + cotangent-buffer packing as per-generation XLA ops;
+    measured on v5e that glue cost ~22-28 ms of the ~57-62 ms step (vs
+    ~6-10 ms for the actual tree sweeps) — sub-8-sublane row arrays and
+    per-generation pad/reshape copies dominate.  This kernel does the
+    whole per-generation scalar chain in VMEM:
+
+    * reconstructs the generation's input carry (records rows, or the
+      true initial state when ``is0``);
+    * synthesizes the loss cotangent rows (``loss_drec``) or reads the
+      generic ``drec`` block;
+    * applies ``jax.vjp`` of the pure ``ft._wide_tail``;
+    * writes the chunk kernels' input buffer ``buf = [p3, v3, d_best_d,
+      d_best_n]`` (already tiled) and the carry-bar cotangent block, and
+      accumulates glass cotangents in SMEM across the ray grid.
+
+    ``loss_key`` only keys the cache (the drec closure is not hashable
+    by content); callers pass the loss descriptor itself.
+    """
+    del loss_key
+
+    def kernel(*refs):
+        if generic:
+            (rec_ref, mask_ref, pmask_ref, state0_ref, fold_ref,
+             glass_ref, drec_ref, cbar_ref,
+             buf_ref, dcarry_ref, dglass_ref) = refs
+            scal_ref = None
+        else:
+            (rec_ref, mask_ref, pmask_ref, state0_ref, fold_ref,
+             glass_ref, scal_ref, cbar_ref,
+             buf_ref, dcarry_ref, dglass_ref) = refs
+            drec_ref = None
+        rec = rec_ref[:]
+        dtype = rec.dtype
+        mask_g = mask_ref[:]
+        fold5 = fold_ref[:]
+        best_d, best_n, best_mat = fold5[0], fold5[1:4], fold5[4]
+        best_pub = rec[5]
+        if is0:
+            s0 = state0_ref[:]
+            p3_in, v3_in = s0[0:3], s0[4:7]
+            carry_g = (
+                p3_in, v3_in, s0[8], s0[9], s0[10], s0[11], s0[12],
+                jnp.ones_like(mask_g),
+            )
+        else:
+            p3_in, v3_in = rec[6:9], rec[12:15]
+            carry_g = (
+                p3_in, v3_in, rec[0], rec[1], rec[2], rec[3], rec[4],
+                pmask_ref[:],
+            )
+        if generic:
+            drec = drec_ref[:]
+        else:
+            drec = loss_drec(rec, mask_g, scal_ref)
+        cb = cbar_ref[:]
+        carry_bar = (
+            cb[0:3], cb[3:6], cb[6], cb[7], cb[8], cb[9], cb[10],
+            jnp.zeros_like(cb[6]),
+        )
+        glass_vals = _scalar_tables(glass_ref, n_glass_rows, matl.N_GLASS_COEFFS)
+
+        def tailf(bd, bn, gv, cr):
+            return ft._wide_tail(
+                spec, config, _Rows(gv), bd, bn, best_mat, best_pub, cr
+            )
+
+        _, tail_vjp = jax.vjp(tailf, best_d, best_n, glass_vals, carry_g)
+        d_bd, d_bn, g_gv, d_carry = tail_vjp(
+            (carry_bar, drec, jnp.zeros_like(mask_g))
+        )
+        buf_ref[:] = jnp.concatenate((p3_in, v3_in, d_bd[None], d_bn))
+        dcarry_ref[:] = jnp.concatenate(
+            (
+                d_carry[0], d_carry[1],
+                d_carry[2][None], d_carry[3][None], d_carry[4][None],
+                d_carry[5][None], d_carry[6][None],
+            )
+        )
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _init():
+            for m in range(n_glass_rows):
+                for i in range(matl.N_GLASS_COEFFS):
+                    dglass_ref[m, i] = jnp.zeros((), dtype)
+
+        for m in range(n_glass_rows):
+            for i in range(matl.N_GLASS_COEFFS):
+                dglass_ref[m, i] = dglass_ref[m, i] + g_gv[m][i]
+
+    return kernel
+
+
 def _make_staged_singles_kernel(singles_infos, n_prim_cols):
     """The ungrouped singles' fold backward — one kernel, python-unrolled
     (singles total <= fused_trace._FUSED_MAX_LEAVES leaves by
@@ -993,6 +1094,7 @@ def _run_bwd_staged(
     slots_arr, _ = ft._wide_runtime_tables(spec, params, dtype)
     slots_arr = lax.stop_gradient(slots_arr)
     meta_arr = jnp.asarray(ft._leaf_meta_table(spec), dtype)
+    n_glass_rows = glass.shape[0]
 
     singles_infos, group_chunks = _staged_plan(spec)
 
@@ -1037,113 +1139,122 @@ def _run_bwd_staged(
     ran = jnp.minimum(-(-count1 // u) * u, generations)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem_buf = pl.BlockSpec(
-        (10, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    vmem_win = pl.BlockSpec(
+
+    def vmem_rows(k):
+        return pl.BlockSpec(
+            (k, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    vmem_1 = pl.BlockSpec(
         (r_rows, ft.LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    vmem_dpv = pl.BlockSpec(
-        (6, r_rows, ft.LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
 
-    def tile2(x, fill=0):
-        # win tiles pad with -1: 0 is a real fold code, and although the
-        # zero-padded d_bd/d_bn rows already zero any padded-ray cotangent,
-        # -1 keeps the subchunk winner skip exact for the padding too
-        return jnp.pad(x, ((0, n_pad - n),), constant_values=fill).reshape(
-            n_pad // ft.LANE, ft.LANE
+    # EVERYTHING per-ray is tiled to (rows, LANE) ONCE, here, and the
+    # whole reverse sweep — tail kernels, chunk kernels, cotangent adds —
+    # stays in that layout.  The first implementation re-packed and
+    # re-padded per generation in XLA; measured on v5e that glue plus the
+    # XLA-side tail vjp cost ~22-28 ms of the ~60 ms step (design notes).
+    def tile_all(x, fill=0):
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(0, n_pad - n)]
+        return jnp.pad(x, pad_width, constant_values=fill).reshape(
+            x.shape[:-1] + (n_pad // ft.LANE, ft.LANE)
         )
 
-    def tile_rows(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n))).reshape(
-            x.shape[0], n_pad // ft.LANE, ft.LANE
+    rec_t = tile_all(records)                       # (G, 15, rows, L)
+    mask_t = tile_all(masks_f)                      # (G, rows, L)
+    fold_t = tile_all(fold5.astype(dtype))          # (G, 5, rows, L)
+    # win pads with -1: 0 is a real fold code; -1 keeps the subchunk
+    # winner skip exact for padded rays (their cotangents are already
+    # zeroed by the zero-padded d_bd/d_bn rows either way)
+    win_t = tile_all(win, fill=-1)                  # (G, rows, L) int32
+    state0_t = tile_all(state0.astype(dtype))       # (13, rows, L)
+    ones_t = jnp.ones_like(mask_t[0])
+    if not loss_mode:
+        drec_t = tile_all(d_records)                # (G, 15, rows, L)
+
+    n_blocks = n_pad // block
+    grid = (n_blocks,)
+
+    def run_tail(g, carry_bar_t):
+        is0 = g == 0
+        tailk = _make_staged_tail_kernel(
+            spec, config, is0, n_glass_rows,
+            loss_key=None, loss_drec=loss_drec, generic=not loss_mode,
         )
+        ins = [
+            rec_t[g], mask_t[g],
+            ones_t if is0 else mask_t[g - 1],
+            state0_t, fold_t[g], glass,
+            (drec_t[g] if not loss_mode else scal.astype(dtype)),
+            carry_bar_t,
+        ]
+        in_specs = [
+            vmem_rows(15), vmem_1, vmem_1, vmem_rows(13), vmem_rows(5),
+            smem,
+            (vmem_rows(15) if not loss_mode else smem),
+            vmem_rows(11),
+        ]
+        return pl.pallas_call(
+            tailk,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(vmem_rows(10), vmem_rows(11), smem),
+            out_shape=(
+                jax.ShapeDtypeStruct((10, n_pad // ft.LANE, ft.LANE), dtype),
+                jax.ShapeDtypeStruct((11, n_pad // ft.LANE, ft.LANE), dtype),
+                jax.ShapeDtypeStruct(
+                    (n_glass_rows, matl.N_GLASS_COEFFS), dtype
+                ),
+            ),
+            interpret=interpret,
+        )(*ins)
 
     def gen_step(g, ops):
-        carry_bar, d_obj_acc, d_prim_acc, d_glass_acc = ops
-        rec = records[g]
-        mask_g = masks_f[g]
-        if loss_mode:
-            drec = loss_drec(rec, mask_g, scal)
-        else:
-            drec = d_records[g]
-        # input-state reconstruction (see _make_bwd_kernel's body): a
-        # generation's record rows ARE its input state; generation 0 uses
-        # the true initial state (non-renormalized directions)
-        if g == 0:
-            carry_g = (
-                state0[0:3], state0[4:7], state0[8], state0[9],
-                state0[10], state0[11], state0[12], jnp.ones_like(mask_g),
-            )
-        else:
-            carry_g = (
-                rec[6:9], rec[12:15], rec[0], rec[1], rec[2], rec[3],
-                rec[4], masks_f[g - 1],
-            )
-        best_d = fold5[g, 0]
-        best_n = fold5[g, 1:4]
-        best_mat = fold5[g, 4]
-        best_pub = rec[5]
-        win_g = win[g]
-
-        def tailf(bd, bn, gv, cr):
-            return ft._wide_tail(
-                spec, config, gv, bd, bn, best_mat, best_pub, cr
-            )
-
-        _, tail_vjp = jax.vjp(tailf, best_d, best_n, glass, carry_g)
-        d_bd, d_bn, g_gv, d_carry = tail_vjp(
-            (carry_bar, drec, jnp.zeros_like(mask_g))
-        )
+        carry_bar_t, d_obj_acc, d_prim_acc, d_glass_acc = ops
+        buf_t, dcarry_t, g_gv = run_tail(g, carry_bar_t)
         d_glass_acc = d_glass_acc + g_gv
-        d_p3 = d_carry[0]
-        d_v3 = d_carry[1]
 
-        buf_t = tile_rows(
-            jnp.concatenate((carry_g[0], carry_g[1], d_bd[None], d_bn))
-        )
-        win_t = tile2(win_g, fill=-1)
+        dpv_sum = jnp.zeros((6, n_pad // ft.LANE, ft.LANE), dtype)
         for kern, row_slots, code, n_rows in chunk_calls:
             tbl_o = obj_tx[row_slots]
             tbl_p = prim_p[row_slots]
             tbl_s = meta_arr[row_slots, 2]
             d_obj_rows, d_prim_rows, dpv = pl.pallas_call(
                 kern,
-                grid=(n_pad // block,),
-                in_specs=[smem, smem, smem, smem, vmem_buf, vmem_win],
-                out_specs=(smem, smem, vmem_dpv),
+                grid=grid,
+                in_specs=[smem, smem, smem, smem, vmem_rows(10), vmem_1],
+                out_specs=(smem, smem, vmem_rows(6)),
                 out_shape=(
                     jax.ShapeDtypeStruct((n_rows, 16), dtype),
                     jax.ShapeDtypeStruct((n_rows, n_prim_cols), dtype),
-                    jax.ShapeDtypeStruct((6, n_pad // ft.LANE, ft.LANE), dtype),
+                    jax.ShapeDtypeStruct(
+                        (6, n_pad // ft.LANE, ft.LANE), dtype
+                    ),
                 ),
                 interpret=interpret,
-            )(tbl_o, tbl_p, tbl_s, code, buf_t, win_t)
+            )(tbl_o, tbl_p, tbl_s, code, buf_t, win_t[g])
             # pads repeat real rows with exact-zero contributions; XLA
             # scatter-add sums duplicate indices
             d_obj_acc = d_obj_acc.at[row_slots].add(d_obj_rows)
             d_prim_acc = d_prim_acc.at[row_slots].add(d_prim_rows)
-            dpv = dpv.reshape(6, n_pad)[:, :n]
-            d_p3 = d_p3 + dpv[:3]
-            d_v3 = d_v3 + dpv[3:]
+            dpv_sum = dpv_sum + dpv
 
-        new_bar = (
-            d_p3, d_v3, d_carry[2], d_carry[3], d_carry[4], d_carry[5],
-            d_carry[6], jnp.zeros_like(d_carry[2]),
+        new_bar = jnp.concatenate(
+            (dcarry_t[0:6] + dpv_sum, dcarry_t[6:11])
         )
         return new_bar, d_obj_acc, d_prim_acc, d_glass_acc
 
     if loss_mode:
-        zero_n = jnp.zeros((n,), dtype)
-        carry_bar0 = (
-            jnp.zeros((3, n), dtype), jnp.zeros((3, n), dtype),
-        ) + (zero_n,) * 6
+        carry_bar0 = jnp.zeros((11, n_pad // ft.LANE, ft.LANE), dtype)
     else:
         df = d_fstate.astype(dtype)
-        carry_bar0 = (
-            df[0:3], df[4:7], df[8], df[9], df[10], df[11], df[12],
-            jnp.zeros_like(df[8]),
+        carry_bar0 = tile_all(
+            jnp.concatenate(
+                (
+                    df[0:3], df[4:7], df[8][None], df[9][None],
+                    df[10][None], df[11][None], df[12][None],
+                )
+            )
         )
     ops = (
         carry_bar0,
@@ -1155,15 +1266,14 @@ def _run_bwd_staged(
         ops = lax.cond(
             g < ran, lambda o, g=g: gen_step(g, o), lambda o: o, ops
         )
-    carry_bar, d_obj_acc, d_prim_acc, d_glass_acc = ops
-    p_bar, v_bar, gen_bar, int_bar, wav_bar, idx_bar, id_bar, _ = carry_bar
-    zero = jnp.zeros_like(gen_bar)
+    carry_bar_t, d_obj_acc, d_prim_acc, d_glass_acc = ops
+    cb = carry_bar_t.reshape(11, n_pad)[:, :n]
+    zero = jnp.zeros_like(cb[6])
     d_state0 = jnp.concatenate(
         (
-            p_bar, zero[None],
-            v_bar, zero[None],
-            gen_bar[None], int_bar[None], wav_bar[None],
-            idx_bar[None], id_bar[None],
+            cb[0:3], zero[None],
+            cb[3:6], zero[None],
+            cb[6][None], cb[7][None], cb[8][None], cb[9][None], cb[10][None],
         )
     )
     return d_obj_acc, d_prim_acc, d_glass_acc, d_state0
