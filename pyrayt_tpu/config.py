@@ -42,9 +42,9 @@ class TraceConfig:
     #: through HBM.  No effect on forward-only traces.
     remat: bool = False
     #: WIDE-scene backward selection (scenes past the narrow kernel's leaf
-    #: cap): None = auto (the monolithic wide backward kernel up to its
-    #: Mosaic compile cap, the STAGED multi-dispatch backward past it),
-    #: "staged" = always the staged backward, "fused" = always the
-    #: monolithic kernel (raises past its cap).  See
-    #: ops/fused_grad._run_bwd_staged.
+    #: cap): None = auto = the STAGED multi-dispatch backward (measured
+    #: faster than the monolithic wide kernel at every size, and the only
+    #: path that compiles past ~300 leaves); "fused" = the monolithic wide
+    #: backward kernel (raises past its compile cap).  See
+    #: ops/fused_grad._run_bwd_staged and docs/design_notes.md.
     wide_grad: Optional[str] = None

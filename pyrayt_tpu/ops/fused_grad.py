@@ -100,7 +100,12 @@ def bwd_block_rays(config: TraceConfig, itemsize: int = 4, loss_mode: bool = Fal
     synthesizes them from SMEM scalars — roughly halving the working set
     and nearly doubling the block."""
     g = config.generation_limit
-    rows = (16 * g + 26) if loss_mode else (31 * g + 39)
+    # loss-mode per-generation cost is 20 rows, not the record buffer's
+    # 16: at G=8 the 16-row estimate chose 64-row blocks whose scoped
+    # VMEM measured 21.6 MB against the v5e 16 MB cap (Mosaic stack OOM
+    # on the real chip); 20 rows lands G=8 on 32-row blocks while G<=6
+    # keeps the measured (64, 128) fast path (7.8 ms condenser step)
+    rows = (20 * g + 26) if loss_mode else (31 * g + 39)
     budget = _VMEM_BUDGET_BYTES_LOSS if loss_mode else ft._VMEM_BUDGET_BYTES
     per_ray = itemsize * (2 * rows + 140 + (80 if wide else 0))
     r = budget // (per_ray * ft.LANE)
@@ -701,21 +706,27 @@ def _run_bwd(
 _STAGED_CHUNK_LEAVES = 256
 # trees per winner-skip subchunk inside a staged chunk kernel (same role
 # as fused_trace._WIDE_CHUNK_TREES: one any-winner test guards a
-# subchunk's whole tree sweep)
-_STAGED_SUBCHUNK_TREES = 16
+# subchunk's whole tree sweep).  v5e sweep at 2^20 rays, G=4:
+#   8x8 MLA  (129 leaves): sub 8/16/32 -> 34.3 / 37.9 / 49.5 ms
+#   16x16    (513 leaves): sub 8/16/32 -> 49.7 / 48.2 / 57.7 ms
+# 8 wins small arrays by ~10% and costs large ones ~3%; ships.
+_STAGED_SUBCHUNK_TREES = 8
 
 
 def wide_grad_mode(spec: SceneSpec, config: TraceConfig) -> str:
     """Backward-path selection: ``"narrow"`` (unrolled scenes),
     ``"fused"`` (the monolithic wide kernel) or ``"staged"``.
 
-    ``config.wide_grad`` forces a wide mode; None picks the monolithic
-    kernel up to its Mosaic compile cap and the staged backward past it.
+    ``config.wide_grad`` forces a wide mode; None (auto) picks STAGED for
+    every wide scene — measured faster than the monolithic kernel even
+    well below that kernel's compile cap (v5e, 8x8 MLA: 34.3 vs 48.9
+    ms/step — dropping the in-kernel fold recompute beats the extra
+    dispatches), and the only path that compiles past ~300 leaves.
     """
     if ft.supports_fused(spec):
         return "narrow"
     mode = config.wide_grad
-    if mode == "staged":
+    if mode == "staged" or mode is None:
         return "staged"
     if mode == "fused":
         if spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES:
@@ -725,13 +736,7 @@ def wide_grad_mode(spec: SceneSpec, config: TraceConfig) -> str:
                 "use wide_grad='staged'"
             )
         return "fused"
-    if mode is not None:
-        raise ValueError(f"unknown wide_grad mode {mode!r}")
-    return (
-        "staged"
-        if spec.n_leaves > ft._FUSED_WIDE_GRAD_MAX_LEAVES
-        else "fused"
-    )
+    raise ValueError(f"unknown wide_grad mode {mode!r}")
 
 
 def _staged_plan(spec: SceneSpec):
@@ -753,6 +758,7 @@ def _staged_plan(spec: SceneSpec):
 @lru_cache(maxsize=256)
 def _make_staged_group_kernel(
     template, fast, types_pos, needs_pos, n_trees, n_prim_cols,
+    subchunk=_STAGED_SUBCHUNK_TREES,
 ):
     """One chunk's fold-backward kernel: winner-masked per-tree vjp of the
     pure tree eval over a chunk-local scene table.
@@ -772,7 +778,7 @@ def _make_staged_group_kernel(
     letting XLA/Mosaic deduplicate the compiled program.
     """
     L = len(types_pos)
-    nsub = -(-n_trees // _STAGED_SUBCHUNK_TREES)
+    nsub = -(-n_trees // subchunk)
 
     def kernel(objtx_ref, prim_ref, scale_ref, code_ref, buf_ref, win_ref,
                dobj_ref, dprim_ref, dpv_ref):
@@ -842,7 +848,7 @@ def _make_staged_group_kernel(
             jnp.zeros((3,) + shape, dtype),
             jnp.zeros((3,) + shape, dtype),
         )
-        C = _STAGED_SUBCHUNK_TREES
+        C = subchunk
 
         def sub_bwd(c, a):
             start = c * C
@@ -1118,6 +1124,7 @@ def _run_bwd_staged(
         kern = _make_staged_group_kernel(
             info["template"], True, info["types_pos"],
             info["needs_pos"], ct, n_prim_cols,
+            subchunk=_STAGED_SUBCHUNK_TREES,
         )
         for k in range(nc):
             trees = np.clip(np.arange(k * ct, (k + 1) * ct), 0, T - 1)

@@ -51,7 +51,12 @@ def _assert_grads_close(got, want):
 def mla():
     scene, rays, det_id = _scene(5)
     assert ft.supports_fused_wide(scene.spec)
-    config = TraceConfig(generation_limit=4, fixed_loop=True)
+    # pin the MONOLITHIC wide backward kernel explicitly: auto dispatch
+    # picks the staged backward for every wide scene since round 5
+    # (tests/test_ops/test_fused_staged_grad.py covers that path)
+    config = TraceConfig(
+        generation_limit=4, fixed_loop=True, wide_grad="fused"
+    )
     return scene, rays, det_id, config
 
 
