@@ -17,8 +17,12 @@ The script:
    radius of curvature — the gradient a lenslet-array designer descends —
 4. and, with ``--optimize N``, actually descends it: adam walks a 15%%
    detuned radius back toward nominal.  On TPU every step runs the WIDE
-   fused forward + backward kernels (last hardware run, 8x8 / 2^18 rays /
-   30 steps: r 2.300 -> 2.028 mm against nominal 2.0).
+   fused forward + STAGED backward kernels at any array size (last
+   hardware run, 8x8 / 2^18 rays / 30 steps: r 2.300 -> 2.028 mm against
+   nominal 2.0).  ``--optimize-per-lenslet N`` runs the freeform mode:
+   every lenslet gets its own randomly detuned radius and adam descends
+   all n*n radii + the detector plane jointly (last hardware run, 8x8 /
+   2^18 rays / 30 steps / 65 params: mean |r - nominal| 0.239 -> 0.066 mm).
 
 Run:  python examples/microlens_array.py [--n 16] [--rays 65536] [--optimize 30]
       python examples/microlens_array.py --optimize-per-lenslet 30

@@ -172,3 +172,14 @@ def test_staged_per_lenslet_radii_grads():
     )
     # and they are genuinely per-lenslet (not one broadcast value)
     assert np.std(np.asarray(g_xla)) > 0
+    # f64 central-difference audit of two independent lenslet radii
+    # through the STAGED path (VERDICT r4 next #3's FD criterion)
+    eps = 1e-6
+    for k in (0, 9):
+        e = jnp.zeros(n * n).at[k].set(eps)
+        fd = (float(obj_staged(radii0 + e)) - float(obj_staged(radii0 - e))) / (
+            2 * eps
+        )
+        assert abs(fd - float(g_staged[k])) < 1e-5 * max(1.0, abs(fd)), (
+            k, fd, float(g_staged[k]),
+        )

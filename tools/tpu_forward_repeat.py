@@ -36,7 +36,10 @@ from pyrayt_tpu.scene.objects import fresh_ids  # noqa: E402
 
 N_RAYS = 1 << 20
 GENERATIONS = 6
-CHAIN = 10
+# MUST match bench.py's CHAIN: the ~20-30 ms relay dispatch latency is
+# amortized over the chain, so per-trace numbers at different K are not
+# comparable (K=10 inflates ms/trace by ~1.3 ms vs K=20)
+CHAIN = 20
 
 with fresh_ids():
     lens = comp.thick_lens(
