@@ -329,43 +329,45 @@ def _measure_wide_fields(n: int = 16, chain_fwd: int = 4, chain_grad: int = 2):
 
 
 def _measure_hostedge_fields(fn, params, rays):
-    """Frame-materialization cost at production scale: device->host fetch +
-    pandas build for the full (G, 15, n) record buffer, naive vs the
-    sliced dtype-tight variant (pyrayt_tpu/tracer/frame.py).
+    """Frame-materialization cost at production scale: device->host fetch
+    + pandas build, naive vs the sliced dtype-tight variant
+    (pyrayt_tpu/tracer/frame.py), on a FRESH buffer per measurement.
 
-    Honest note: on this host the NAIVE committed-buffer fetch wins
-    (0.4-0.9 s for 377 MB) — fetching any computed array (slice, cast,
-    scatter) takes a ~15x slower transfer path, so both attempted
-    mitigations lose and the library defaults to naive.  The fields
-    report both so the comparison is checked on every bench run.
+    Round-4's version of this measurement re-fetched the SAME committed
+    buffer, whose host copy jax caches after the first transfer — the
+    "naive 0.4-0.9 s" headline was host-side memcpy of that cache, not a
+    transfer, while every compact call computed a fresh array and paid
+    the real relay cost.  Production ``trace()`` always fetches fresh
+    buffers, so each arm here re-traces with perturbed inputs first
+    (design notes, round-5 correction).
     """
     from pyrayt_tpu.tracer.frame import records_to_dataframe
 
-    result = fn(params, rays)
-    jax.block_until_ready(result)
+    def fresh(i):
+        r = fn(
+            params,
+            rays.replace(positions=rays.positions + i * 1e-30),
+        )
+        jax.block_until_ready(r)
+        return r
 
-    naive = lambda: records_to_dataframe(  # noqa: E731
-        result.records, result.record_mask, compact=False
+    result = fresh(0)
+    rows = len(
+        records_to_dataframe(result.records, result.record_mask, compact=True)
     )
-    sliced = lambda: records_to_dataframe(  # noqa: E731
-        result.records, result.record_mask, compact=True
-    )
-    # warm BOTH paths, then interleave: the first large fetch after device
-    # work pays a multi-second relay warm-up that otherwise lands entirely
-    # on whichever path is measured first (round-4 finding)
-    rows = len(sliced())
-    rows_n = len(naive())
-    assert rows == rows_n
-    naive_s = compact_s = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sliced()
-        compact_s = min(compact_s, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        naive()
-        naive_s = min(naive_s, time.perf_counter() - t0)
     g, c, n = result.records.shape
     itemsize = jnp.dtype(result.records.dtype).itemsize
+
+    naive_s = compact_s = float("inf")
+    for i in range(2):
+        r1 = fresh(2 * i + 1)
+        t0 = time.perf_counter()
+        records_to_dataframe(r1.records, r1.record_mask, compact=True)
+        compact_s = min(compact_s, time.perf_counter() - t0)
+        r2 = fresh(2 * i + 2)
+        t0 = time.perf_counter()
+        records_to_dataframe(r2.records, r2.record_mask, compact=False)
+        naive_s = min(naive_s, time.perf_counter() - t0)
     return {
         "frame_rows": rows,
         "frame_ms_naive_fetch": round(naive_s * 1e3, 1),
@@ -373,9 +375,9 @@ def _measure_hostedge_fields(fn, params, rays):
         "frame_fetch_speedup": round(naive_s / compact_s, 2),
         "frame_mb_device_buffer": round(g * c * n * itemsize / 1e6, 1),
         "frame_note": (
-            "naive committed-buffer fetch is the default and the faster "
-            "path here; computed-array fetches are ~15x slower on this "
-            "stack (see design notes)"
+            "fresh-buffer fetches (the production case): the compact "
+            "jitted slice+cast is the default; re-reads of one cached "
+            "buffer favor naive (see design notes round-5 correction)"
         ),
     }
 
