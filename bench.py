@@ -1100,9 +1100,11 @@ def wide_main():
     """Wide-scene benchmark (--wide): microlens arrays through BOTH wide
     paths — the XLA batched-group engine and the WIDE fused Pallas kernel
     (ops/fused_trace._make_step_wide) — with an on-chip record-agreement
-    probe.  Measured numbers live in docs/design_notes.md ("Wide fused
-    kernel"); last run: 19.1x at 73 leaves, 11.8x at 513, 0.0 record
-    difference.
+    probe, a HETEROGENEOUS 20-distinct-element assembly, and the wide
+    gradient modes (monolithic kernel vs the staged backward).  Measured
+    numbers live in docs/design_notes.md; last run: 22.6x at 73 leaves,
+    35.6x at 513 (0.0 record difference), 16.4x heterogeneous at 61
+    leaves; gradients 34.3 ms (8x8 staged) / 48-54 ms (16x16 staged).
     """
     import numpy as np
 
