@@ -92,10 +92,13 @@ def on_tpu() -> bool:
 
 # the kernel unrolls the scene per leaf; past this count the generated
 # Mosaic program (and its compile time) stops paying for itself.  Wider
-# scenes whose trees batch into same-shape groups (lens/microlens arrays)
-# run the WIDE kernel variant below — an in-VMEM fori_loop over the tree
-# axis; scenes that are wide AND heterogeneous fall back to the XLA
-# engine's batched path (tracer/engine.py)
+# scenes whose trees batch into same-SHAPE groups run the WIDE kernel
+# variant below — an in-VMEM fori_loop over the tree axis; since round 5
+# groups batch by CSG shape alone (materials / normal scales / ids are
+# runtime meta-table data), so heterogeneous assemblies qualify too.
+# Only wide scenes with no >= 8 same-shape trees (genuinely irregular
+# template mixes) fall back to the XLA engine's batched path
+# (tracer/engine.py)
 _FUSED_MAX_LEAVES = 32
 # wide-kernel leaf cap: scene tables (transforms 16 + prim params + ids)
 # live in SMEM as scalars; this bounds their footprint (~176 B/leaf)
@@ -132,9 +135,10 @@ def supports_fused_wide(spec: SceneSpec) -> bool:
     leaf count past the unrolled kernel's cap, the engine's wide plan finds
     at least one batchable same-shape tree group, and whatever is NOT
     grouped (odd singles like the detector baffle) is small enough to
-    unroll.  Gradients have their own wide backward kernel up to
-    ``_FUSED_WIDE_GRAD_MAX_LEAVES`` (ops/fused_grad._make_bwd_kernel_wide);
-    past that cap they differentiate the XLA engine (pick_fused)."""
+    unroll.  Gradients default to the STAGED wide backward at any size
+    (ops/fused_grad._run_bwd_staged); the monolithic wide backward kernel
+    remains available below its compile cap via
+    ``TraceConfig(wide_grad="fused")``."""
     from pyrayt_tpu.tracer.engine import _tree_slots, _wide_plan
 
     if not (
